@@ -1,0 +1,143 @@
+"""Simulation step assembly.
+
+The reference's per-frame driver (ParticleSys.Update, ParticleSys.cs:445-527)
+dispatches, in order: the active collision-detection kernel, then the
+integrator, then rendering, then the episode-end check.  Here that becomes a
+single jitted function ``state -> state`` per method; episodes are
+``lax.scan``/``fori_loop`` over it with the same ordering semantics
+(collision response runs *before* integration, and responses pre-compensate
+the integrator with ``-g*dt``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from particlesystemhybridcollisiondetection_tpu.config import SimConfig
+from particlesystemhybridcollisiondetection_tpu.core import vec
+from particlesystemhybridcollisiondetection_tpu.core.state import ParticleState
+from particlesystemhybridcollisiondetection_tpu.ops import narrow_phase as nphase
+from particlesystemhybridcollisiondetection_tpu.ops.integrate import integrate
+
+StepFn = Callable[[ParticleState], ParticleState]
+
+
+def _as_planar_triangles(triangles) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """[T, 3, 3] host soup -> three [3, T] planar device arrays."""
+    tris = jnp.asarray(triangles, dtype=jnp.float32)
+    v0 = tris[:, 0, :].T
+    v1 = tris[:, 1, :].T
+    v2 = tris[:, 2, :].T
+    return v0, v1, v2
+
+
+def spatial_collide(
+    state: ParticleState,
+    v0: jnp.ndarray,
+    v1: jnp.ndarray,
+    v2: jnp.ndarray,
+    gravity: jnp.ndarray,
+    dt: float,
+    backoff: float,
+    cand_mask: Optional[jnp.ndarray] = None,
+    active: Optional[jnp.ndarray] = None,
+) -> ParticleState:
+    """Spatial-structure collision detection + response on a candidate set.
+
+    v0, v1, v2: [3, N, K] per-particle candidates, or [3, K] shared
+    candidates (broadcast to all particles; the brute-force path).
+    ``cand_mask``: bool[N, K] validity of each candidate (padding lanes).
+    ``active``: bool[N] run collision for these particles only (hybrid uses
+    this for its undecided set).
+    """
+    pos, velo = state.pos, state.vel
+    if v0.ndim == 2:  # shared candidate list -> broadcast over particles
+        v0 = v0[:, None, :]
+        v1 = v1[:, None, :]
+        v2 = v2[:, None, :]
+
+    speed2 = vec.norm2(velo)
+    dirn = vec.normalize(velo)  # NaN on vel==0 lanes; masked below
+    seg_len2 = speed2 * (dt * dt)
+
+    hits = nphase.particle_vs_triangles(pos, dirn, seg_len2, v0, v1, v2, state.radius)
+    hit_mask = hits.hit
+    if cand_mask is not None:
+        hit_mask = hit_mask & cand_mask
+    hits = hits._replace(
+        hit=hit_mask, t2=jnp.where(hit_mask, hits.t2, jnp.inf)
+    )
+    nearest = nphase.nearest_hit(hits)
+
+    # vel == 0 guard (SpatialStructureCollisionDetection.compute:237).
+    hit = nearest.hit & (speed2 != 0.0)
+    if active is not None:
+        hit = hit & active
+
+    new_pos, new_vel = nphase.spatial_response(
+        pos,
+        velo,
+        dirn,
+        hit,
+        nearest.t,
+        nearest.normal,
+        gravity,
+        dt,
+        state.radius,
+        state.restitution,
+        backoff,
+    )
+    return state._replace(
+        pos=new_pos,
+        vel=new_vel,
+        collisions=state.collisions + hit.astype(jnp.int32),
+    )
+
+
+def make_spatial_step_bruteforce(triangles, cfg: SimConfig) -> StepFn:
+    """Spatial method with every scene triangle as a candidate.
+
+    O(N*T) -- the validation path (and the analog of the reference's
+    "BVH as ground-truth oracle" role, SURVEY 4).  Use the grid-based step
+    for real workloads.
+    """
+    v0, v1, v2 = _as_planar_triangles(triangles)
+    gravity = jnp.asarray(cfg.gravity, dtype=jnp.float32)
+
+    @jax.jit
+    def step(state: ParticleState) -> ParticleState:
+        state = spatial_collide(state, v0, v1, v2, gravity, cfg.dt, cfg.backoff)
+        new_pos, new_vel = integrate(state.pos, state.vel, gravity, cfg.dt)
+        return state._replace(pos=new_pos, vel=new_vel)
+
+    return step
+
+
+def make_episode_runner(step: StepFn, num_steps: int) -> Callable[[ParticleState], ParticleState]:
+    """Roll an episode fully on device: ``lax.fori_loop`` over the step."""
+
+    @jax.jit
+    def run(state: ParticleState) -> ParticleState:
+        return jax.lax.fori_loop(0, num_steps, lambda _, s: step(s), state)
+
+    return run
+
+
+def make_trajectory_runner(step: StepFn, num_steps: int, stride: int = 1):
+    """Roll an episode and return strided position history [S, 3, N]."""
+
+    @functools.partial(jax.jit, static_argnums=())
+    def run(state: ParticleState):
+        def body(s, _):
+            for _ in range(stride):
+                s = step(s)
+            return s, s.pos
+
+        final, hist = jax.lax.scan(body, state, None, length=num_steps // stride)
+        return final, hist
+
+    return run
