@@ -1,0 +1,60 @@
+"""Headline benchmark: particle-steps/sec of the spatial (grid) method on
+the bunny benchmark scene, real hardware.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the driver's north star is 1M particles at 60 steps/s on one
+v5e chip = 6.0e7 particle-steps/sec (BASELINE.md).  vs_baseline is the
+measured particle-steps/sec over that number.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+BASELINE_PARTICLE_STEPS_PER_SEC = 1_000_000 * 60.0
+
+
+def main() -> None:
+    import jax
+
+    from particlesystemhybridcollisiondetection_tpu.bench.harness import run_episode
+    from particlesystemhybridcollisiondetection_tpu.geometry.scenes import bunny_scene
+
+    # 128^2 * 16 layers = 262,144 particles on the bunny scene (30k-tri
+    # collider + ground), spatial grid method, 300 timed steps.
+    scene = bunny_scene(width=480, height=270)
+    t0 = time.time()
+    result = run_episode(
+        scene,
+        "spatial",
+        layers_y=16,
+        num_steps=301,
+        chunk=50,
+        warmup_steps=1,
+    )
+    elapsed = time.time() - t0
+
+    value = result.particle_steps_per_sec
+    out = {
+        "metric": "particle_steps_per_sec_spatial_bunny_262k",
+        "value": round(value, 1),
+        "unit": "particle-steps/s",
+        "vs_baseline": round(value / BASELINE_PARTICLE_STEPS_PER_SEC, 4),
+    }
+    # extra context on stderr (the driver reads stdout's single line)
+    print(
+        f"[bench] {result.num_particles} particles, {result.num_steps} steps, "
+        f"{result.mean_ms:.3f} ms/step, {result.steps_per_sec:.1f} steps/s, "
+        f"device={jax.devices()[0].platform}, wall={elapsed:.1f}s",
+        file=sys.stderr,
+    )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,206 @@
+"""Benchmark harness.
+
+Replicates the reference's BenchmarkManager sweep (BenchmarkManager.cs:76-186):
+for each run x collision method x camera, roll one episode of
+``lifetime_steps`` steps, recording per-step timings and per-particle
+collision counts, and append CSVs in the reference's format
+(``results_perf_<scene>_<N>.csv`` with ``step;ms`` rows, and
+``results_acc_...`` with per-particle counts -- :193-271).
+
+Differences by design:
+  * Timing is wall-clock around blocks of steps with an explicit
+    ``block_until_ready`` fence (the reference measures Unity frame
+    deltas); a per-step mode exists for exact CSV parity but adds a
+    device sync per step.
+  * The particle sweep is the reference's: 128^2 * 2^k, capped at 65535*32
+    (BenchmarkManager.cs:280-283) -- but the cap is overridable, since the
+    TPU build has no dispatch limit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+from particlesystemhybridcollisiondetection_tpu.config import Method
+from particlesystemhybridcollisiondetection_tpu.core.state import (
+    active_mask,
+    spawn_grid,
+)
+from particlesystemhybridcollisiondetection_tpu.core.step import (
+    make_episode_runner,
+    make_method_step,
+)
+
+METHOD_NAMES = dict(zip([m.value for m in Method], Method.display_names()))
+
+
+@dataclasses.dataclass
+class EpisodeResult:
+    method: str
+    camera: str
+    num_particles: int
+    num_steps: int
+    step_ms: list  # per-step (or per-chunk-averaged) milliseconds
+    collisions: np.ndarray  # per-particle totals
+    steps_per_sec: float
+
+    @property
+    def particle_steps_per_sec(self) -> float:
+        return self.steps_per_sec * self.num_particles
+
+    @property
+    def mean_ms(self) -> float:
+        return float(np.mean(self.step_ms)) if self.step_ms else 0.0
+
+
+def run_episode(
+    scene,
+    method: str,
+    camera_index: int = 0,
+    layers_y: int = 1,
+    num_steps: Optional[int] = None,
+    chunk: int = 50,
+    per_step_timing: bool = False,
+    warmup_steps: int = 1,
+) -> EpisodeResult:
+    cfg = scene.config
+    steps = num_steps if num_steps is not None else cfg.lifetime_steps
+    step = make_method_step(scene, method, camera_index)
+    state = spawn_grid(cfg, layers_y=layers_y)
+    mask = np.asarray(active_mask(state))
+    n_particles = int(mask.sum())
+
+    # Warm-up: trigger compilation outside the timed region (the reference
+    # skips step 0's timing for the same reason, ParticleSys.cs:457).
+    for _ in range(warmup_steps):
+        state = step(state)
+    jax.block_until_ready(state.pos)
+
+    step_ms: list[float] = []
+    timed_steps = steps - warmup_steps
+    if per_step_timing:
+        for _ in range(timed_steps):
+            t0 = time.perf_counter()
+            state = step(state)
+            jax.block_until_ready(state.pos)
+            step_ms.append((time.perf_counter() - t0) * 1000.0)
+        total_s = sum(step_ms) / 1000.0
+    else:
+        runner = make_episode_runner(step, chunk)
+        done = 0
+        t_start = time.perf_counter()
+        while done < timed_steps:
+            n = min(chunk, timed_steps - done)
+            t0 = time.perf_counter()
+            if n == chunk:
+                state = runner(state)
+            else:
+                for _ in range(n):
+                    state = step(state)
+            jax.block_until_ready(state.pos)
+            ms = (time.perf_counter() - t0) * 1000.0 / n
+            step_ms.extend([ms] * n)
+            done += n
+        total_s = time.perf_counter() - t_start
+
+    return EpisodeResult(
+        method=method,
+        camera=scene.cameras[camera_index].name if scene.cameras else "none",
+        num_particles=n_particles,
+        num_steps=timed_steps,
+        step_ms=step_ms,
+        collisions=np.asarray(state.collisions)[mask],
+        steps_per_sec=timed_steps / max(total_s, 1e-12),
+    )
+
+
+def run_benchmark(
+    scene,
+    methods: Sequence[str] = ("screen_space", "spatial", "hybrid"),
+    camera_indices: Optional[Sequence[int]] = None,
+    layers_y: int = 1,
+    num_steps: Optional[int] = None,
+    num_runs: int = 1,
+    out_dir: Optional[str] = None,
+    per_step_timing: bool = False,
+    accuracy: bool = False,
+) -> list[EpisodeResult]:
+    """The full sweep: runs x methods x cameras (BenchmarkManager.cs:76-127).
+
+    With ``out_dir``, writes the reference's CSV formats plus a JSON
+    summary.
+    """
+    cameras = (
+        list(camera_indices)
+        if camera_indices is not None
+        else list(range(len(scene.cameras)))
+    )
+    results = []
+    for run in range(num_runs):
+        per_method: dict[str, list[EpisodeResult]] = {}
+        for method in methods:
+            for cam in cameras if Method(method) != Method.SPATIAL else cameras[:1]:
+                r = run_episode(
+                    scene,
+                    method,
+                    camera_index=cam,
+                    layers_y=layers_y,
+                    num_steps=num_steps,
+                    per_step_timing=per_step_timing,
+                )
+                results.append(r)
+                per_method.setdefault(method, []).append(r)
+        if out_dir:
+            _write_csvs(scene, per_method, layers_y, out_dir, append=run != 0,
+                        accuracy=accuracy)
+    if out_dir:
+        _write_summary(scene, results, layers_y, out_dir)
+    return results
+
+
+def _write_csvs(scene, per_method, layers_y, out_dir, append, accuracy):
+    os.makedirs(out_dir, exist_ok=True)
+    n = next(iter(per_method.values()))[0].num_particles
+    mode = "a" if append else "w"
+    perf_path = os.path.join(out_dir, f"results_perf_{scene.name}_{n}.csv")
+    with open(perf_path, mode) as f:
+        for method, runs in per_method.items():
+            f.write(f"{METHOD_NAMES[method]};ms\n")
+            for r in runs:
+                for i, ms in enumerate(r.step_ms):
+                    f.write(f"{i};{ms}\n")
+    if accuracy:
+        acc_path = os.path.join(out_dir, f"results_acc_{scene.name}_{n}.csv")
+        with open(acc_path, mode) as f:
+            for method, runs in per_method.items():
+                f.write(f"{METHOD_NAMES[method]};collisions\n")
+                for r in runs:
+                    for i, c in enumerate(r.collisions):
+                        f.write(f"{i};{c}\n")
+
+
+def _write_summary(scene, results, layers_y, out_dir):
+    os.makedirs(out_dir, exist_ok=True)
+    summary = [
+        {
+            "scene": scene.name,
+            "method": r.method,
+            "camera": r.camera,
+            "num_particles": r.num_particles,
+            "num_steps": r.num_steps,
+            "mean_ms_per_step": r.mean_ms,
+            "steps_per_sec": r.steps_per_sec,
+            "particle_steps_per_sec": r.particle_steps_per_sec,
+            "total_collisions": int(r.collisions.sum()),
+        }
+        for r in results
+    ]
+    with open(os.path.join(out_dir, f"summary_{scene.name}.json"), "w") as f:
+        json.dump(summary, f, indent=2)

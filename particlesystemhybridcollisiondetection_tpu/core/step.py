@@ -117,6 +117,173 @@ def make_spatial_step_bruteforce(triangles, cfg: SimConfig) -> StepFn:
     return step
 
 
+def spatial_collide_stream(
+    state: ParticleState,
+    grid,
+    meta,
+    gravity: jnp.ndarray,
+    dt: float,
+    backoff: float,
+    active: Optional[jnp.ndarray] = None,
+) -> ParticleState:
+    """Grid spatial collision via the streaming narrow phase (no [N, K]
+    candidate tensors; see narrow_phase.swept_collide_stream)."""
+    from particlesystemhybridcollisiondetection_tpu.ops.grid import cell_index
+
+    pos, velo = state.pos, state.vel
+    speed2 = vec.norm2(velo)
+    dirn = vec.normalize(velo)
+    seg_len2 = speed2 * (dt * dt)
+
+    cid = cell_index(pos, meta)
+    start = grid.offsets[cid]
+    count = grid.offsets[cid + 1] - start
+    p_max = grid.tri_ids.shape[0] - 1
+
+    def gather_fn(j):
+        idx = jnp.clip(start + j, 0, p_max)
+        tid = grid.tri_ids[idx]
+        return grid.v0[:, tid], grid.v1[:, tid], grid.v2[:, tid], j < count
+
+    nearest = nphase.swept_collide_stream(
+        pos, dirn, seg_len2, state.radius, gather_fn, meta.max_tris_per_cell
+    )
+    hit = nearest.hit & (speed2 != 0.0)
+    if active is not None:
+        hit = hit & active
+
+    new_pos, new_vel = nphase.spatial_response(
+        pos, velo, dirn, hit, nearest.t, nearest.normal,
+        gravity, dt, state.radius, state.restitution, backoff,
+    )
+    return state._replace(
+        pos=new_pos,
+        vel=new_vel,
+        collisions=state.collisions + hit.astype(jnp.int32),
+    )
+
+
+def make_spatial_step_grid(triangles, cfg: SimConfig, dense: bool = False) -> StepFn:
+    """Spatial method with the static CSR triangle grid broad phase.
+
+    The production path: one cell lookup per particle, streaming narrow
+    phase over the cell's candidates, fused with the integrator in a
+    single jitted step (the whole per-frame pipeline of
+    ParticleSys.Update:445-492 with zero host sync).  ``dense=True``
+    selects the materializing [N, K] variant (kept for testing).
+    """
+    from particlesystemhybridcollisiondetection_tpu.ops.grid import (
+        build_triangle_grid,
+        gather_candidates,
+    )
+
+    grid, meta = build_triangle_grid(triangles, cfg.grid)
+    gravity = jnp.asarray(cfg.gravity, dtype=jnp.float32)
+
+    if dense:
+
+        @jax.jit
+        def step(state: ParticleState) -> ParticleState:
+            v0, v1, v2, mask = gather_candidates(grid, meta, state.pos)
+            state = spatial_collide(
+                state, v0, v1, v2, gravity, cfg.dt, cfg.backoff, cand_mask=mask
+            )
+            new_pos, new_vel = integrate(state.pos, state.vel, gravity, cfg.dt)
+            return state._replace(pos=new_pos, vel=new_vel)
+
+        return step
+
+    @jax.jit
+    def step(state: ParticleState) -> ParticleState:
+        state = spatial_collide_stream(
+            state, grid, meta, gravity, cfg.dt, cfg.backoff
+        )
+        new_pos, new_vel = integrate(state.pos, state.vel, gravity, cfg.dt)
+        return state._replace(pos=new_pos, vel=new_vel)
+
+    return step
+
+
+def make_screenspace_step(triangles, cfg: SimConfig, camera) -> StepFn:
+    """Screen-space depth collision method (ParticleSys.cs:455-459 path)."""
+    from particlesystemhybridcollisiondetection_tpu.ops.screenspace import (
+        bake_camera,
+        screen_space_collide,
+    )
+
+    tex = bake_camera(triangles, camera)
+    gravity = jnp.asarray(cfg.gravity, dtype=jnp.float32)
+
+    @jax.jit
+    def step(state: ParticleState) -> ParticleState:
+        state, _ = screen_space_collide(state, tex, gravity, cfg.dt)
+        new_pos, new_vel = integrate(state.pos, state.vel, gravity, cfg.dt)
+        return state._replace(pos=new_pos, vel=new_vel)
+
+    return step
+
+
+def make_hybrid_step(triangles, cfg: SimConfig, camera) -> StepFn:
+    """Hybrid method (ParticleSys.cs:622-639): screen-space stage, then the
+    exact spatial stage restricted to the undecided set.
+
+    The reference's atomic-append + indirect-dispatch plumbing
+    (ComputeDispatchArgs.compute:9-21) exists to avoid a GPU->CPU readback;
+    here the entire step is one compiled program, so the undecided set is
+    just a mask on the dense second stage -- the same "exact fallback only
+    where screen-space can't decide" capability with zero host sync by
+    construction.
+    """
+    from particlesystemhybridcollisiondetection_tpu.ops.grid import (
+        build_triangle_grid,
+        gather_candidates,
+    )
+    from particlesystemhybridcollisiondetection_tpu.ops.screenspace import (
+        bake_camera,
+        screen_space_collide,
+    )
+
+    tex = bake_camera(triangles, camera)
+    grid, meta = build_triangle_grid(triangles, cfg.grid)
+    gravity = jnp.asarray(cfg.gravity, dtype=jnp.float32)
+
+    @jax.jit
+    def step(state: ParticleState) -> ParticleState:
+        state, undecided = screen_space_collide(
+            state, tex, gravity, cfg.dt, hybrid=True
+        )
+        v0, v1, v2, mask = gather_candidates(grid, meta, state.pos)
+        state = spatial_collide(
+            state,
+            v0,
+            v1,
+            v2,
+            gravity,
+            cfg.dt,
+            cfg.backoff,
+            cand_mask=mask,
+            active=undecided,
+        )
+        new_pos, new_vel = integrate(state.pos, state.vel, gravity, cfg.dt)
+        return state._replace(pos=new_pos, vel=new_vel)
+
+    return step
+
+
+def make_method_step(scene, method, camera_index: int = 0) -> StepFn:
+    """Factory over the three collision methods (ParticleSys.cs:667-698)."""
+    from particlesystemhybridcollisiondetection_tpu.config import Method
+
+    method = Method(method)
+    cfg = scene.config
+    if method == Method.SPATIAL:
+        return make_spatial_step_grid(scene.triangles, cfg)
+    camera = scene.cameras[camera_index]
+    if method == Method.SCREEN_SPACE:
+        return make_screenspace_step(scene.triangles, cfg, camera)
+    return make_hybrid_step(scene.triangles, cfg, camera)
+
+
 def make_episode_runner(step: StepFn, num_steps: int) -> Callable[[ParticleState], ParticleState]:
     """Roll an episode fully on device: ``lax.fori_loop`` over the step."""
 

@@ -110,8 +110,8 @@ def unity_plane(segments: int = 10) -> TriangleMesh:
             cc = a + n
             d = cc + 1
             # winding chosen for +Y facing with the axes above
-            faces.append([a, b, cc])
-            faces.append([b, d, cc])
+            faces.append([a, cc, b])
+            faces.append([b, cc, d])
     return TriangleMesh(verts, np.asarray(faces, dtype=np.int64), "plane")
 
 

@@ -1,0 +1,173 @@
+"""Static uniform triangle grid: the TPU-native broad phase.
+
+The reference builds a sphere-BVH on the CPU (Morton-code top levels + SAH
+leaf splitting, ParticleSys.cs:1103-1305) and traverses it per-particle on
+the GPU with an explicit 128-deep stack
+(SpatialStructureCollisionDetection.compute:235-356).  Divergent stack
+traversal is hostile to a dense SIMD machine, so the TPU design replaces it
+with a uniform grid over the static scene:
+
+  * Build (host, once per scene): every triangle's AABB is expanded by a
+    conservative radius ``expand`` and binned into all grid cells it
+    overlaps, producing a CSR table (cell -> triangle ids).
+  * Query (device, per step): each particle reads the candidate list of
+    *its own cell only* -- one gather, no traversal, no stack.
+
+Correctness argument for the single-cell lookup: a particle at position p
+can only contact triangles within ``r + |v|*dt`` of p.  If
+``expand >= r + max_travel``, every such triangle was binned into the cell
+containing p.  ``max_travel`` is a scene-config bound (for the benchmark
+scenes, terminal fall speed ~101 u/s * dt 0.01 ~= 1.01 units; r = 2;
+default expand = 4).
+
+Particles outside the grid clamp to a border cell; since the grid covers
+the scene AABB + expand, such particles are provably out of reach of every
+triangle and the narrow phase rejects whatever candidates the border cell
+offers (wasted lanes, never wrong results).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from particlesystemhybridcollisiondetection_tpu.config import GridConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class GridMeta:
+    """Static (trace-time) grid geometry."""
+
+    origin: tuple  # (3,) world position of cell (0,0,0) corner
+    cell_size: float
+    dims: tuple  # (3,) cells per axis
+    max_tris_per_cell: int  # K of the dense candidate gather
+    num_pairs: int
+    num_triangles: int
+
+    @property
+    def num_cells(self) -> int:
+        return int(np.prod(self.dims))
+
+
+class TriangleGrid(NamedTuple):
+    """Device-side CSR grid + planar triangle soup."""
+
+    offsets: jnp.ndarray  # i32[C + 1]
+    tri_ids: jnp.ndarray  # i32[P] triangle index per (cell, tri) pair
+    v0: jnp.ndarray  # f32[3, T]
+    v1: jnp.ndarray  # f32[3, T]
+    v2: jnp.ndarray  # f32[3, T]
+
+
+def build_triangle_grid(
+    triangles: np.ndarray,
+    cfg: GridConfig,
+    *,
+    margin: float = 1e-3,
+) -> tuple[TriangleGrid, GridMeta]:
+    """Host-side one-time build.  triangles: f32[T, 3, 3] world soup.
+
+    Fully vectorized NumPy (no Python loop over triangles): per-triangle
+    cell ranges -> pair expansion via repeat + offset decode -> bincount
+    CSR.  This is the analog of BuildAndSetupBvh (ParticleSys.cs:383-442)
+    and is orders of magnitude faster than the reference's per-node SAH
+    rescans.
+    """
+    tris = np.asarray(triangles, dtype=np.float64)
+    t_count = len(tris)
+    h = float(cfg.cell_size)
+    r = float(cfg.expand)
+
+    lo_w = tris.min(axis=1) - r - margin  # [T, 3]
+    hi_w = tris.max(axis=1) + r + margin
+
+    origin = tris.reshape(-1, 3).min(axis=0) - r - h  # pad one cell
+    top = tris.reshape(-1, 3).max(axis=0) + r + h
+    dims = np.maximum(np.ceil((top - origin) / h).astype(np.int64), 1)
+
+    lo = np.clip(np.floor((lo_w - origin) / h).astype(np.int64), 0, dims - 1)
+    hi = np.clip(np.floor((hi_w - origin) / h).astype(np.int64), 0, dims - 1)
+    span = hi - lo + 1  # [T, 3]
+    counts = span.prod(axis=1)  # cells per triangle
+    p_total = int(counts.sum())
+
+    # Expand (tri, cell) pairs: for pair k of triangle t, decode its local
+    # (dx, dy, dz) from the pair's rank within the triangle.
+    pair_tri = np.repeat(np.arange(t_count, dtype=np.int64), counts)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    local = np.arange(p_total, dtype=np.int64) - starts[pair_tri]
+    sz = span[pair_tri]  # [P, 3]
+    dz = local % sz[:, 2]
+    dy = (local // sz[:, 2]) % sz[:, 1]
+    dx = local // (sz[:, 2] * sz[:, 1])
+    cx = lo[pair_tri, 0] + dx
+    cy = lo[pair_tri, 1] + dy
+    cz = lo[pair_tri, 2] + dz
+    cell = (cx * dims[1] + cy) * dims[2] + cz
+
+    order = np.argsort(cell, kind="stable")
+    cell_sorted = cell[order]
+    tri_sorted = pair_tri[order].astype(np.int32)
+
+    num_cells = int(dims.prod())
+    cell_counts = np.bincount(cell_sorted, minlength=num_cells)
+    offsets = np.zeros(num_cells + 1, dtype=np.int64)
+    np.cumsum(cell_counts, out=offsets[1:])
+    k_max = int(cell_counts.max()) if num_cells else 0
+
+    meta = GridMeta(
+        origin=tuple(float(x) for x in origin),
+        cell_size=h,
+        dims=tuple(int(d) for d in dims),
+        max_tris_per_cell=max(k_max, 1),
+        num_pairs=p_total,
+        num_triangles=t_count,
+    )
+    tris32 = tris.astype(np.float32)
+    grid = TriangleGrid(
+        offsets=jnp.asarray(offsets.astype(np.int32)),
+        tri_ids=jnp.asarray(tri_sorted),
+        v0=jnp.asarray(tris32[:, 0, :].T),
+        v1=jnp.asarray(tris32[:, 1, :].T),
+        v2=jnp.asarray(tris32[:, 2, :].T),
+    )
+    return grid, meta
+
+
+def cell_index(pos: jnp.ndarray, meta: GridMeta) -> jnp.ndarray:
+    """i32[N] linear cell id for particle positions [3, N] (clamped)."""
+    origin = jnp.asarray(meta.origin, dtype=pos.dtype)
+    inv_h = 1.0 / meta.cell_size
+    dims = meta.dims
+    # floor + clip per axis; sentinel positions (1e38) clamp to the border.
+    c = jnp.floor((pos - origin[:, None]) * inv_h)
+    cx = jnp.clip(c[0], 0, dims[0] - 1).astype(jnp.int32)
+    cy = jnp.clip(c[1], 0, dims[1] - 1).astype(jnp.int32)
+    cz = jnp.clip(c[2], 0, dims[2] - 1).astype(jnp.int32)
+    return (cx * dims[1] + cy) * dims[2] + cz
+
+
+def gather_candidates(
+    grid: TriangleGrid, meta: GridMeta, pos: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-particle candidate triangles.
+
+    Returns (v0, v1, v2, mask): verts [3, N, K], validity mask [N, K].
+    This is the whole broad phase at query time: three gathers.
+    """
+    k = meta.max_tris_per_cell
+    cid = cell_index(pos, meta)  # [N]
+    start = grid.offsets[cid]  # [N]
+    count = grid.offsets[cid + 1] - start  # [N]
+    j = jnp.arange(k, dtype=jnp.int32)[None, :]  # [1, K]
+    mask = j < count[:, None]  # [N, K]
+    pair_idx = jnp.clip(start[:, None] + j, 0, grid.tri_ids.shape[0] - 1)
+    tid = grid.tri_ids[pair_idx]  # [N, K]
+    v0 = grid.v0[:, tid]  # [3, N, K]
+    v1 = grid.v1[:, tid]
+    v2 = grid.v2[:, tid]
+    return v0, v1, v2, mask

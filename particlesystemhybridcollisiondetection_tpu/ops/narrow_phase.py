@@ -69,7 +69,21 @@ def ray_triangle(p0, dirn, v0, v1, v2):
 
 
 def ray_cylinder(p0, dirn, a, b, r):
-    """Ray vs finite capped cylinder from a to b (compute:103-142)."""
+    """Ray vs finite capped cylinder from a to b (compute:103-142).
+
+    The body test follows the reference algebra.  The cap test deviates in
+    *formulation* (not semantics): the reference's shortcut
+    ``|k1 + k2*t| < h`` sits exactly on a 0/0 knife-edge when the ray is
+    parallel to the cylinder axis (k1 = k2 = h = 0), and XLA's FMA
+    contraction can tip it either way per compilation -- observed as
+    spurious hits on triangles several units away when particles bounce
+    exactly vertically against vertical edges.  We evaluate the cap
+    geometrically (point-in-disk at the cap-plane crossing), which is
+    equivalent in exact arithmetic and robust in float32: parallel rays
+    never hit the cylinder, exactly as the reference's exact-arithmetic
+    semantics dictate (vertex spheres and offset planes cover those
+    contacts).
+    """
     ba = b - a
     oc = p0 - a
     baba = vec.dot(ba, ba)
@@ -84,7 +98,11 @@ def ray_cylinder(p0, dirn, a, b, r):
     y = baoc + t_body * bard
     body_hit = (y > 0.0) & (y < baba)
     t_cap = (jnp.where(y < 0.0, 0.0, baba) - baoc) / bard
-    cap_hit = jnp.abs(k1 + k2 * t_cap) < hs
+    # Geometric cap containment: radial offset from the axis at the
+    # crossing point must be inside the cap disk.
+    yc = jnp.where(y < 0.0, 0.0, baba)
+    q = oc + dirn * t_cap[None] - ba * (yc / baba)[None]
+    cap_hit = (h >= 0.0) & (vec.dot(q, q) < r * r)
     hit = body_hit | cap_hit
     t = jnp.where(body_hit, t_body, t_cap)
     return hit, t
@@ -187,6 +205,66 @@ def nearest_hit(hits: TriangleHits) -> NearestHit:
     hit = take(hits.hit, k_best[..., None], axis=-1)[..., 0]
     normal = take(hits.normal, k_best[None, ..., None], axis=-1)[..., 0]
     return NearestHit(hit=hit, t=t, normal=normal)
+
+
+def swept_collide_stream(
+    p0,
+    dirn,
+    seg_len2,
+    radius,
+    gather_fn,
+    num_candidates: int,
+) -> NearestHit:
+    """Streaming nearest-hit reduction over candidate slots.
+
+    Identical semantics to ``particle_vs_triangles`` + ``nearest_hit`` but
+    restructured for TPU memory behavior: instead of materializing
+    ``[3, N, K]`` candidate tensors in HBM (which dominates step time at
+    at scale), a ``fori_loop`` over the K candidate slots keeps everything
+    at ``[N]`` shape -- each iteration is one fused elementwise kernel and
+    the running (hit, t, t2, normal) accumulators are the only state.
+
+    ``gather_fn(j) -> (v0, v1, v2, valid)`` supplies candidate slot j for
+    every particle: verts ``[3, N]``, validity ``[N]``.
+
+    The cross-candidate winner is the smallest squared distance with
+    first-seen-wins tie-breaking, matching argmin over the dense t2 array.
+    """
+    import jax
+
+    n = p0.shape[-1]
+    dt_ = p0.dtype
+
+    def body(j, acc):
+        best_t2, best_t, best_n, any_hit = acc
+        v0, v1, v2, valid = gather_fn(j)
+
+        hits = particle_vs_triangles(
+            p0, dirn, seg_len2, v0[..., None], v1[..., None], v2[..., None], radius
+        )
+        hit_j = hits.hit[..., 0] & valid
+        t2_j = jnp.where(hit_j, hits.t2[..., 0], jnp.inf)
+        t_j = hits.t[..., 0]
+        n_j = hits.normal[..., 0]
+
+        take = t2_j < best_t2  # strict: first-seen wins ties, like argmin
+        return (
+            jnp.where(take, t2_j, best_t2),
+            jnp.where(take, t_j, best_t),
+            vec.where(take, n_j, best_n),
+            any_hit | hit_j,
+        )
+
+    init = (
+        jnp.full((n,), _INF, dtype=dt_),
+        jnp.full((n,), _INF, dtype=dt_),
+        jnp.zeros((3, n), dtype=dt_),
+        jnp.zeros((n,), dtype=bool),
+    )
+    best_t2, best_t, best_n, any_hit = jax.lax.fori_loop(
+        0, num_candidates, body, init
+    )
+    return NearestHit(hit=any_hit & (best_t2 < _INF), t=best_t, normal=best_n)
 
 
 def spatial_response(pos, vel, dirn, hit, t, normal, gravity, dt, radius,

@@ -1,0 +1,132 @@
+"""Screen-space depth collision detection (device kernel).
+
+TPU-native form of ScreenSpaceDepthCollisionDetection.compute:31-76 and its
+hybrid variant (:87-143): project each particle through the camera, gather
+depth (= camera distance) and world normal from the pre-pass textures, and
+collide iff ``|eyeDist - depth| <= radius`` and the velocity points into the
+surface.  The hybrid variant additionally produces the "undecided" set --
+particles that are off-screen, behind the camera, or occluded
+(``eyeDist > depth``) -- which the reference stream-compacts through an
+atomic counter and indirect dispatch (:78-84, ComputeDispatchArgs.compute).
+On TPU that whole mechanism is a boolean mask consumed by a masked second
+stage: no atomics, no host sync, same capability.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from particlesystemhybridcollisiondetection_tpu.core import vec
+from particlesystemhybridcollisiondetection_tpu.core.state import ParticleState
+from particlesystemhybridcollisiondetection_tpu.geometry.camera import Camera
+from particlesystemhybridcollisiondetection_tpu.ops.raster import (
+    rasterize_depth_normal,
+)
+
+
+class CameraTextures(NamedTuple):
+    """Device-side camera constants + pre-pass textures.
+
+    Mirrors the uniforms bound at ParticleSys.cs:596-606 plus the
+    depth/normal RenderTextures.
+    """
+
+    view: jnp.ndarray  # f32[4, 4] worldToCameraMatrix
+    proj: jnp.ndarray  # f32[4, 4] projectionMatrix
+    cam_pos: jnp.ndarray  # f32[3]
+    cam_fwd: jnp.ndarray  # f32[3]
+    depth: jnp.ndarray  # f32[H, W] camera-distance depth
+    normal: jnp.ndarray  # f32[H, W, 3] world normals
+
+    @property
+    def screen_size(self) -> tuple[int, int]:
+        return self.depth.shape  # (H, W)
+
+
+def bake_camera(triangles: np.ndarray, cam: Camera) -> CameraTextures:
+    """One-time pre-pass for a static scene + camera (the analog of
+    DepthPrePass/NormalPrePass, run per frame in the reference but
+    invariant here)."""
+    depth, normal = rasterize_depth_normal(triangles, cam)
+    return CameraTextures(
+        view=jnp.asarray(cam.view_matrix(), dtype=jnp.float32),
+        proj=jnp.asarray(cam.projection_matrix(), dtype=jnp.float32),
+        cam_pos=jnp.asarray(cam.position, dtype=jnp.float32),
+        cam_fwd=jnp.asarray(cam.forward, dtype=jnp.float32),
+        depth=jnp.asarray(depth),
+        normal=jnp.asarray(normal),
+    )
+
+
+def screen_space_collide(
+    state: ParticleState,
+    tex: CameraTextures,
+    gravity: jnp.ndarray,
+    dt: float,
+    *,
+    hybrid: bool = False,
+) -> tuple[ParticleState, jnp.ndarray]:
+    """One collision pass.  Returns (new_state, undecided bool[N]).
+
+    ``undecided`` is all-False unless ``hybrid``.
+    """
+    pos, velo = state.pos, state.vel
+    h_px, w_px = tex.screen_size
+
+    speed2 = vec.norm2(velo)
+    moving = speed2 != 0.0  # compute:33 early-out
+
+    # Projection (compute:39-47).
+    view_pos = tex.view[:3, :3] @ pos + tex.view[:3, 3:4]  # [3, N] (w=1)
+    view_w = tex.view[3, :3] @ pos + tex.view[3, 3]
+    clip = tex.proj[:, :3] @ view_pos + tex.proj[:, 3:4] * view_w[None]
+    ndc = clip[:3] / clip[3]
+    sx = ndc[0] * 0.5 + 0.5
+    sy = ndc[1] * 0.5 + 0.5
+
+    inside = (sx >= 0.0) & (sx <= 1.0) & (sy >= 0.0) & (sy <= 1.0)
+    to_particle = pos - tex.cam_pos[:, None]
+    in_front = vec.dot(tex.cam_fwd[:, None], to_particle) > 0.0
+    visible = inside & in_front
+
+    # Texture gather at truncated pixel coords (compute:53-59).  HLSL
+    # Load() out-of-bounds returns 0; clamping to the last texel only
+    # differs on the measure-zero sx == 1.0 boundary.
+    px = jnp.clip((sx * w_px).astype(jnp.int32), 0, w_px - 1)
+    py = jnp.clip((sy * h_px).astype(jnp.int32), 0, h_px - 1)
+    flat = py * w_px + px
+    depth = tex.depth.reshape(-1)[flat]
+    n_flat = tex.normal.reshape(-1, 3)[flat]  # [N, 3]
+    normal = n_flat.T  # [3, N]
+
+    eye_dist = vec.norm(to_particle)
+    diff = jnp.abs(eye_dist - depth)
+    into = vec.dot(normal, velo) < 0.0
+
+    near_surface = diff <= state.radius
+    collide = moving & visible & near_surface & into
+
+    # Response (compute:65-69): vel' first, then pos += (vel' - vel)*dt.
+    dirn = vec.normalize(velo)
+    refl = vec.normalize(vec.reflect(dirn, normal))
+    speed = jnp.sqrt(speed2)
+    new_vel = refl * (state.restitution * speed)[None] - gravity[:, None] * dt
+    new_pos = pos + new_vel * dt - velo * dt
+
+    out = state._replace(
+        pos=vec.where(collide, new_pos, pos),
+        vel=vec.where(collide, new_vel, velo),
+        collisions=state.collisions + collide.astype(jnp.int32),
+    )
+
+    if hybrid:
+        # compute:105-142: undecided = off-screen/behind-camera, or
+        # occluded beyond the depth surface.
+        occluded = visible & ~near_surface & (eye_dist > depth)
+        undecided = moving & (~visible | occluded)
+    else:
+        undecided = jnp.zeros_like(moving)
+    return out, undecided

@@ -8,7 +8,10 @@ multi-chip meshes).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The axon TPU plugin's sitecustomize imports jax at interpreter startup,
+# so setting JAX_PLATFORMS via os.environ here is too late -- override via
+# jax.config before any backend initializes.  XLA_FLAGS is still read at
+# CPU-client creation, so the virtual device count can be set here.
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,4 +20,5 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")

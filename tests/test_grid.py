@@ -1,0 +1,124 @@
+"""Static triangle grid broad phase: build invariants + equivalence with
+the brute-force path (the grid must never change trajectories, only cost)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from particlesystemhybridcollisiondetection_tpu.config import GridConfig
+from particlesystemhybridcollisiondetection_tpu.core.state import spawn_grid, active_mask
+from particlesystemhybridcollisiondetection_tpu.core.step import (
+    make_spatial_step_bruteforce,
+    make_spatial_step_grid,
+)
+from particlesystemhybridcollisiondetection_tpu.geometry.scenes import sample_scene
+from particlesystemhybridcollisiondetection_tpu.ops.grid import (
+    build_triangle_grid,
+    cell_index,
+    gather_candidates,
+)
+
+
+def test_build_invariants():
+    scene = sample_scene()
+    grid, meta = build_triangle_grid(scene.triangles, scene.config.grid)
+    assert meta.num_triangles == scene.num_triangles
+    offs = np.asarray(grid.offsets)
+    assert offs[0] == 0 and offs[-1] == meta.num_pairs
+    assert (np.diff(offs) >= 0).all()
+    assert (np.diff(offs) <= meta.max_tris_per_cell).all()
+    # every triangle is binned at least once
+    assert len(np.unique(np.asarray(grid.tri_ids))) == meta.num_triangles
+
+
+def test_candidates_are_complete():
+    """Every triangle within (expand) of a query point must be among the
+    point's cell candidates."""
+    rng = np.random.default_rng(0)
+    scene = sample_scene()
+    gcfg = scene.config.grid
+    tris = scene.triangles
+    grid, meta = build_triangle_grid(tris, gcfg)
+
+    pts = rng.uniform(-3, 3, size=(256, 3)).astype(np.float32)
+    pts[:, 1] = rng.uniform(0, 2, size=256)
+    v0, v1, v2, mask = gather_candidates(grid, meta, jnp.asarray(pts.T))
+    mask = np.asarray(mask)
+    cid = np.asarray(cell_index(jnp.asarray(pts.T), meta))
+    tids = np.asarray(grid.tri_ids)
+    offs = np.asarray(grid.offsets)
+
+    # ground truth: triangles whose vertices' AABB is within expand
+    lo = tris.min(axis=1)  # [T, 3]
+    hi = tris.max(axis=1)
+    for i in range(len(pts)):
+        d = np.maximum(lo - pts[i], 0) + np.maximum(pts[i] - hi, 0)
+        near = np.where((d.max(axis=1) <= gcfg.expand - 1e-3))[0]
+        cand = set(tids[offs[cid[i]] : offs[cid[i] + 1]])
+        missing = set(near) - cand
+        assert not missing, f"point {pts[i]} missing triangles {missing}"
+
+
+def test_grid_step_equals_bruteforce_step():
+    """For any reachable state, one grid step must equal one brute-force
+    step (same hits, positions to float tolerance).
+
+    Note: full-trajectory bitwise equality between the two paths is NOT a
+    sound expectation -- the two programs fuse differently under XLA (FMA
+    contraction), giving ~1-ulp response differences that resting-contact
+    dynamics amplify chaotically.  Single-step equivalence from identical
+    states is the sharp statement that the broad phase changes cost, not
+    semantics."""
+    scene = sample_scene()
+    cfg = scene.config
+    state = spawn_grid(cfg, layers_y=1)
+    mask = np.asarray(active_mask(state))
+
+    bf = make_spatial_step_bruteforce(scene.triangles, cfg)
+    gr = make_spatial_step_grid(scene.triangles, cfg)
+
+    s = state
+    checked = 0
+    for k in range(1500):
+        s_next_bf = bf(s)
+        if k % 25 == 0 or int(s_next_bf.collisions.sum()) != int(s.collisions.sum()):
+            s_next_gr = gr(s)
+            np.testing.assert_array_equal(
+                np.asarray(s_next_gr.collisions)[mask],
+                np.asarray(s_next_bf.collisions)[mask],
+                err_msg=f"step {k}: hit sets differ",
+            )
+            np.testing.assert_allclose(
+                np.asarray(s_next_gr.pos)[:, mask],
+                np.asarray(s_next_bf.pos)[:, mask],
+                rtol=1e-5,
+                atol=1e-6,
+                err_msg=f"step {k}",
+            )
+            checked += 1
+        s = s_next_bf
+
+    assert checked > 50
+    assert int(np.asarray(s.collisions)[mask].sum()) > 0
+
+
+def test_grid_long_run_statistics_match_bruteforce():
+    """Long-run behavior of the two paths agrees statistically (chaos makes
+    per-particle trajectories diverge; the ensemble must not)."""
+    scene = sample_scene()
+    cfg = scene.config
+    state = spawn_grid(cfg, layers_y=1)
+    mask = np.asarray(active_mask(state))
+
+    bf = make_spatial_step_bruteforce(scene.triangles, cfg)
+    gr = make_spatial_step_grid(scene.triangles, cfg)
+    s_bf = s_gr = state
+    for _ in range(2000):
+        s_bf = bf(s_bf)
+        s_gr = gr(s_gr)
+
+    y_bf = np.asarray(s_bf.pos)[1][mask]
+    y_gr = np.asarray(s_gr.pos)[1][mask]
+    nc_bf = np.asarray(s_bf.collisions)[mask].sum()
+    nc_gr = np.asarray(s_gr.collisions)[mask].sum()
+    assert abs(np.mean(y_bf) - np.mean(y_gr)) < 0.2
+    assert 0.5 < nc_gr / max(nc_bf, 1) < 2.0
