@@ -270,6 +270,41 @@ def make_hybrid_step(triangles, cfg: SimConfig, camera) -> StepFn:
     return step
 
 
+def make_p2p_step(
+    box_lo,
+    box_hi,
+    cfg: SimConfig,
+    cell_size: Optional[float] = None,
+    capacity: int = 8,
+) -> StepFn:
+    """Gravity-box step with particle-particle collisions + container walls
+    (driver benchmark configs 1/2/4/5; capability extension over the
+    reference, which has no particle-particle interaction).
+
+    Order per step: p2p impulses -> wall response -> integrate, keeping
+    the collide-before-integrate convention.
+    """
+    from particlesystemhybridcollisiondetection_tpu.core.state import active_mask
+    from particlesystemhybridcollisiondetection_tpu.ops import p2p as p2p_ops
+    from particlesystemhybridcollisiondetection_tpu.ops import pgrid as pg
+
+    h = cell_size
+    gravity = jnp.asarray(cfg.gravity, dtype=jnp.float32)
+    if h is None:
+        h = 2.0 * cfg.particle_radius
+    meta = pg.make_meta(box_lo, box_hi, h, capacity=capacity)
+
+    @jax.jit
+    def step(state: ParticleState) -> ParticleState:
+        act = active_mask(state)
+        state, _overflow = p2p_ops.p2p_collide(state, meta, active=act)
+        state = p2p_ops.box_walls_collide(state, box_lo, box_hi, gravity, cfg.dt)
+        new_pos, new_vel = integrate(state.pos, state.vel, gravity, cfg.dt)
+        return state._replace(pos=new_pos, vel=new_vel)
+
+    return step
+
+
 def make_method_step(scene, method, camera_index: int = 0) -> StepFn:
     """Factory over the three collision methods (ParticleSys.cs:667-698)."""
     from particlesystemhybridcollisiondetection_tpu.config import Method

@@ -1,0 +1,123 @@
+"""Spatial domain decomposition on the 8-device virtual mesh: conservation
+of particles through migration, cross-boundary contact symmetry, and
+equivalence with the single-device gravity-box pipeline."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from particlesystemhybridcollisiondetection_tpu.config import FLOAT_SENTINEL, SimConfig
+from particlesystemhybridcollisiondetection_tpu.core.state import ParticleState
+from particlesystemhybridcollisiondetection_tpu.core.step import make_p2p_step
+from particlesystemhybridcollisiondetection_tpu.parallel import domain as dom
+
+F = np.float32
+
+
+def _mesh(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+    return jax.sharding.Mesh(np.asarray(jax.devices()[:n]), (dom.AXIS,))
+
+
+def _state(pos, vel, radius, rest):
+    n = pos.shape[0]
+    return ParticleState(
+        pos=jnp.asarray(pos.T, dtype=jnp.float32),
+        vel=jnp.asarray(vel.T, dtype=jnp.float32),
+        collisions=jnp.zeros((n,), dtype=jnp.int32),
+        radius=jnp.asarray(radius, dtype=jnp.float32),
+        restitution=jnp.asarray(rest, dtype=jnp.float32),
+    )
+
+
+def _active_np(state):
+    return np.abs(np.asarray(state.pos)[0]) < FLOAT_SENTINEL * 0.5
+
+
+def test_domain_step_conserves_particles_and_settles():
+    rng = np.random.default_rng(0)
+    n = 1024
+    box_lo, box_hi = (0.0, 0.0, 0.0), (32.0, 16.0, 8.0)
+    pos = np.stack(
+        [rng.uniform(1, 31, n), rng.uniform(6, 15, n), rng.uniform(1, 7, n)],
+        axis=1,
+    ).astype(F)
+    vel = (rng.normal(size=(n, 3)) * 2).astype(F)
+    radius = np.full(n, 0.3, dtype=F)
+    rest = np.full(n, 0.3, dtype=F)
+
+    mesh = _mesh(8)
+    dcfg = dom.DomainConfig(
+        box_lo=box_lo, box_hi=box_hi, n_shards=8,
+        shard_capacity=512, halo_capacity=128, migrate_capacity=128,
+        cell_size=0.7,
+    )
+    cfg = SimConfig(particle_radius=0.3, dt=0.005, bounciness=0.3)
+    state = dom.distribute(_state(pos, vel, radius, rest), dcfg)
+    state = dom.shard_domain_state(state, mesh)
+    step = dom.make_domain_step(dcfg, cfg, mesh)
+
+    total_halo_of = 0
+    total_mig_of = 0
+    for k in range(400):
+        state, stats = step(state)
+        total_halo_of += int(stats[0])
+        total_mig_of += int(stats[1])
+
+    act = _active_np(state)
+    assert act.sum() == n, f"lost particles: {act.sum()} != {n}"
+    assert total_mig_of == 0, "migration overflow"
+    assert total_halo_of == 0, "halo overflow"
+    p = np.asarray(state.pos)[:, act]
+    assert not np.isnan(p).any()
+    assert (p[0] >= -0.01).all() and (p[0] <= 32.01).all()
+    assert (p[1] >= -0.01).all() and (p[1] <= 16.01).all()
+
+
+def test_domain_matches_single_device_statistics():
+    """Same scenario through the sharded pipeline and the single-device
+    p2p step: ensemble statistics (mean height, KE, contact totals) must
+    agree within tolerance (trajectories diverge chaotically)."""
+    rng = np.random.default_rng(1)
+    n = 512
+    box_lo, box_hi = (0.0, 0.0, 0.0), (16.0, 12.0, 8.0)
+    pos = np.stack(
+        [rng.uniform(1, 15, n), rng.uniform(4, 11, n), rng.uniform(1, 7, n)],
+        axis=1,
+    ).astype(F)
+    vel = (rng.normal(size=(n, 3)) * 1).astype(F)
+    radius = np.full(n, 0.35, dtype=F)
+    rest = np.full(n, 0.4, dtype=F)
+    cfg = SimConfig(particle_radius=0.35, dt=0.005, bounciness=0.4)
+
+    # single device
+    s1 = _state(pos, vel, radius, rest)
+    step1 = make_p2p_step(box_lo, box_hi, cfg, cell_size=0.7, capacity=12)
+    for _ in range(300):
+        s1 = step1(s1)
+
+    # 4-shard domain
+    mesh = _mesh(4)
+    dcfg = dom.DomainConfig(
+        box_lo=box_lo, box_hi=box_hi, n_shards=4,
+        shard_capacity=384, halo_capacity=128, migrate_capacity=128,
+        cell_size=0.7, grid_capacity=12,
+    )
+    sd = dom.shard_domain_state(
+        dom.distribute(_state(pos, vel, radius, rest), dcfg), mesh
+    )
+    stepd = dom.make_domain_step(dcfg, cfg, mesh)
+    for _ in range(300):
+        sd, stats = stepd(sd)
+
+    a1 = _active_np(s1)[: s1.pos.shape[1]]
+    ad = _active_np(sd)
+    assert ad.sum() == n
+    y1 = np.asarray(s1.pos)[1][np.abs(np.asarray(s1.pos)[0]) < 1e30]
+    yd = np.asarray(sd.pos)[1][ad]
+    ke1 = (np.asarray(s1.vel)[:, :n] ** 2).sum()
+    ked = (np.asarray(sd.vel)[:, ad] ** 2).sum()
+    assert abs(y1.mean() - yd.mean()) < 0.5, (y1.mean(), yd.mean())
+    assert 0.5 < (ked + 1e-3) / (ke1 + 1e-3) < 2.0, (ke1, ked)

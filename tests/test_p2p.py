@@ -1,0 +1,131 @@
+"""Particle-particle collisions: grid-vs-brute-force equivalence, momentum
+conservation, and gravity-box behavior (driver benchmark configs 1/2)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from particlesystemhybridcollisiondetection_tpu.config import SimConfig
+from particlesystemhybridcollisiondetection_tpu.core.state import ParticleState
+from particlesystemhybridcollisiondetection_tpu.core.step import make_p2p_step
+from particlesystemhybridcollisiondetection_tpu.ops import p2p as p2p_ops
+from particlesystemhybridcollisiondetection_tpu.ops import pgrid as pg
+
+F = np.float32
+
+
+def brute_force_p2p(pos, vel, radius, restitution, beta=0.5):
+    """O(N^2) NumPy oracle of the documented impulse model."""
+    n = len(pos)
+    mass = radius**3
+    dv = np.zeros_like(vel)
+    dp = np.zeros_like(pos)
+    contacts = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        for j in range(n):
+            if i == j:
+                continue
+            d = pos[i] - pos[j]
+            dist2 = float(d @ d)
+            rsum = radius[i] + radius[j]
+            if dist2 >= rsum * rsum or dist2 == 0.0:
+                continue
+            dist = np.sqrt(dist2)
+            nrm = d / dist
+            vn = float((vel[i] - vel[j]) @ nrm)
+            e = 0.5 * (restitution[i] + restitution[j])
+            w = mass[j] / (mass[i] + mass[j])
+            if vn < 0.0:
+                dv[i] += nrm * (-(1.0 + e) * vn * w)
+            dp[i] += nrm * (beta * (rsum - dist) * w)
+            contacts[i] += 1
+    return pos + dp, vel + dv, contacts
+
+
+def _state(pos, vel, radius, rest):
+    n = pos.shape[0]
+    return ParticleState(
+        pos=jnp.asarray(pos.T, dtype=jnp.float32),
+        vel=jnp.asarray(vel.T, dtype=jnp.float32),
+        collisions=jnp.zeros((n,), dtype=jnp.int32),
+        radius=jnp.asarray(radius, dtype=jnp.float32),
+        restitution=jnp.asarray(rest, dtype=jnp.float32),
+    )
+
+
+def test_p2p_grid_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    n = 96
+    pos = rng.uniform(0.5, 7.5, size=(n, 3)).astype(F)
+    vel = rng.normal(size=(n, 3)).astype(F) * 2
+    radius = rng.uniform(0.15, 0.3, size=n).astype(F)  # heterogeneous
+    rest = rng.uniform(0.2, 0.8, size=n).astype(F)
+
+    ref_pos, ref_vel, ref_ct = brute_force_p2p(pos, vel, radius, rest)
+
+    meta = pg.make_meta((0, 0, 0), (8, 8, 8), cell_size=0.6, capacity=16)
+    out, overflow = p2p_ops.p2p_collide(_state(pos, vel, radius, rest), meta)
+    assert int(overflow) == 0
+    np.testing.assert_array_equal(np.asarray(out.collisions), ref_ct)
+    np.testing.assert_allclose(np.asarray(out.pos).T, ref_pos, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.vel).T, ref_vel, rtol=1e-5, atol=1e-5)
+
+
+def test_p2p_momentum_conserved():
+    rng = np.random.default_rng(1)
+    n = 64
+    pos = rng.uniform(0, 3, size=(n, 3)).astype(F)
+    vel = rng.normal(size=(n, 3)).astype(F) * 3
+    radius = np.full(n, 0.35, dtype=F)
+    rest = np.full(n, 0.9, dtype=F)
+    meta = pg.make_meta((-1, -1, -1), (4, 4, 4), cell_size=0.7, capacity=32)
+    s0 = _state(pos, vel, radius, rest)
+    out, overflow = p2p_ops.p2p_collide(s0, meta)
+    assert int(overflow) == 0
+    m = radius**3
+    p_before = (m[None] * np.asarray(s0.vel)).sum(axis=1)
+    p_after = (m[None] * np.asarray(out.vel)).sum(axis=1)
+    np.testing.assert_allclose(p_after, p_before, rtol=1e-3, atol=1e-3)
+
+
+def test_gravity_box_settles():
+    """Config-1-shaped scenario: particles under gravity in a box settle
+    without escaping, without NaN, with dissipating energy."""
+    rng = np.random.default_rng(2)
+    n = 512
+    box_lo, box_hi = (0.0, 0.0, 0.0), (16.0, 24.0, 16.0)
+    pos = np.stack(
+        [rng.uniform(1, 15, n), rng.uniform(8, 23, n), rng.uniform(1, 15, n)],
+        axis=1,
+    ).astype(F)
+    vel = rng.normal(size=(n, 3)).astype(F)
+    radius = np.full(n, 0.4, dtype=F)
+    rest = np.full(n, 0.3, dtype=F)
+    cfg = SimConfig(particle_radius=0.4, dt=0.005, bounciness=0.3)
+    step = make_p2p_step(box_lo, box_hi, cfg, capacity=12)
+    s = _state(pos, vel, radius, rest)
+    for k in range(1500):
+        s = step(s)
+    p = np.asarray(s.pos)
+    v = np.asarray(s.vel)
+    assert not np.isnan(p).any()
+    assert (p[0] >= -0.01).all() and (p[0] <= 16.01).all()
+    assert (p[1] >= -0.01).all() and (p[1] <= 24.01).all()
+    assert (p[2] >= -0.01).all() and (p[2] <= 16.01).all()
+    # settled: low kinetic energy, most particles near the floor
+    ke = (v**2).sum()
+    assert ke < n * 1.0, ke
+    assert np.median(p[1]) < 6.0
+    # no deep interpenetration among a sample of pairs
+    sub = p[:, :128].T
+    d = np.linalg.norm(sub[:, None] - sub[None, :], axis=-1)
+    d[np.arange(128), np.arange(128)] = 1e9
+    assert d.min() > 0.4  # >= half the contact distance (0.8) => no deep overlap
+
+
+def test_pgrid_overflow_counted():
+    """Overstuffed cell -> overflow is reported, not silently dropped."""
+    n = 32
+    pos = np.zeros((n, 3), dtype=F)  # all in one cell
+    meta = pg.make_meta((-1, -1, -1), (1, 1, 1), cell_size=2.0, capacity=8)
+    grid = pg.build(jnp.asarray(pos.T), meta)
+    assert int(grid.overflow) == n - 8
