@@ -163,24 +163,115 @@ def spatial_collide_stream(
     )
 
 
-def make_spatial_step_grid(triangles, cfg: SimConfig, dense: bool = False) -> StepFn:
+def spatial_collide_packed(
+    state: ParticleState,
+    packed,
+    meta,
+    num_groups: int,
+    group: int,
+    gravity: jnp.ndarray,
+    dt: float,
+    backoff: float,
+    active: Optional[jnp.ndarray] = None,
+) -> ParticleState:
+    """Grid spatial collision via the packed-row layout: one [N, 2] cell
+    gather + num_groups [N, group*9] row gathers per step (see
+    ops.grid.PackedGrid for the rationale)."""
+    from particlesystemhybridcollisiondetection_tpu.ops.grid import cell_index
+
+    pos, velo = state.pos, state.vel
+    n = pos.shape[-1]
+    speed2 = vec.norm2(velo)
+    dirn = vec.normalize(velo)
+    seg_len2 = speed2 * (dt * dt)
+
+    cid = cell_index(pos, meta)
+    info = packed.cells[cid]  # [N, 2] single row-gather
+    row0 = info[:, 0]
+    count = info[:, 1]
+    max_row = packed.rows.shape[0] - 1
+
+    slot_idx = jnp.arange(group, dtype=jnp.int32)[None, :]  # [1, G]
+
+    def body(g, acc):
+        best_t2, best_t, best_n, any_hit = acc
+        rows = packed.rows[jnp.clip(row0 + g, 0, max_row)]  # [N, G*9]
+        r3 = rows.reshape(n, group, 9)
+        # [3, N, G] candidate vertices
+        v0 = jnp.moveaxis(r3[:, :, 0:3], -1, 0)
+        v1 = jnp.moveaxis(r3[:, :, 3:6], -1, 0)
+        v2 = jnp.moveaxis(r3[:, :, 6:9], -1, 0)
+        valid = (g * group + slot_idx) < count[:, None]  # [N, G]
+
+        hits = nphase.particle_vs_triangles(
+            pos, dirn, seg_len2, v0, v1, v2, state.radius
+        )
+        hit_g = hits.hit & valid
+        t2_g = jnp.where(hit_g, hits.t2, jnp.inf)
+
+        # fold the G candidates into the running nearest
+        k_best = jnp.argmin(t2_g, axis=-1)
+        tk = jnp.take_along_axis
+        t2_j = tk(t2_g, k_best[:, None], axis=-1)[:, 0]
+        t_j = tk(hits.t, k_best[:, None], axis=-1)[:, 0]
+        n_j = tk(hits.normal, k_best[None, :, None], axis=-1)[..., 0]
+        take = t2_j < best_t2
+        return (
+            jnp.where(take, t2_j, best_t2),
+            jnp.where(take, t_j, best_t),
+            vec.where(take, n_j, best_n),
+            any_hit | hit_g.any(axis=-1),
+        )
+
+    init = (
+        jnp.full((n,), jnp.inf, dtype=pos.dtype),
+        jnp.full((n,), jnp.inf, dtype=pos.dtype),
+        jnp.zeros((3, n), dtype=pos.dtype),
+        jnp.zeros((n,), dtype=bool),
+    )
+    best_t2, best_t, best_n, any_hit = jax.lax.fori_loop(
+        0, num_groups, body, init
+    )
+
+    hit = any_hit & (best_t2 < jnp.inf) & (speed2 != 0.0)
+    if active is not None:
+        hit = hit & active
+
+    new_pos, new_vel = nphase.spatial_response(
+        pos, velo, dirn, hit, best_t, best_n,
+        gravity, dt, state.radius, state.restitution, backoff,
+    )
+    return state._replace(
+        pos=new_pos,
+        vel=new_vel,
+        collisions=state.collisions + hit.astype(jnp.int32),
+    )
+
+
+def make_spatial_step_grid(
+    triangles, cfg: SimConfig, variant: str = "packed", group: int = 8
+) -> StepFn:
     """Spatial method with the static CSR triangle grid broad phase.
 
-    The production path: one cell lookup per particle, streaming narrow
-    phase over the cell's candidates, fused with the integrator in a
-    single jitted step (the whole per-frame pipeline of
-    ParticleSys.Update:445-492 with zero host sync).  ``dense=True``
-    selects the materializing [N, K] variant (kept for testing).
+    One cell lookup per particle, narrow phase over the cell's candidates,
+    fused with the integrator in a single jitted step (the whole per-frame
+    pipeline of ParticleSys.Update:445-492 with zero host sync).
+
+    Variants (identical semantics, different memory behavior):
+      * "packed" (production): packed-row gathers, ~(1 + K/G) gathers/step
+      * "stream": one candidate slot per loop iteration, [N]-only shapes
+      * "dense": materializing [N, K] gather (testing baseline)
     """
     from particlesystemhybridcollisiondetection_tpu.ops.grid import (
         build_triangle_grid,
         gather_candidates,
+        pack_grid,
     )
 
     grid, meta = build_triangle_grid(triangles, cfg.grid)
     gravity = jnp.asarray(cfg.gravity, dtype=jnp.float32)
 
-    if dense:
+    if variant == "dense":
 
         @jax.jit
         def step(state: ParticleState) -> ParticleState:
@@ -193,10 +284,25 @@ def make_spatial_step_grid(triangles, cfg: SimConfig, dense: bool = False) -> St
 
         return step
 
+    if variant == "stream":
+
+        @jax.jit
+        def step(state: ParticleState) -> ParticleState:
+            state = spatial_collide_stream(
+                state, grid, meta, gravity, cfg.dt, cfg.backoff
+            )
+            new_pos, new_vel = integrate(state.pos, state.vel, gravity, cfg.dt)
+            return state._replace(pos=new_pos, vel=new_vel)
+
+        return step
+
+    assert variant == "packed", variant
+    packed, num_groups = pack_grid(grid, meta, group=group)
+
     @jax.jit
     def step(state: ParticleState) -> ParticleState:
-        state = spatial_collide_stream(
-            state, grid, meta, gravity, cfg.dt, cfg.backoff
+        state = spatial_collide_packed(
+            state, packed, meta, num_groups, group, gravity, cfg.dt, cfg.backoff
         )
         new_pos, new_vel = integrate(state.pos, state.vel, gravity, cfg.dt)
         return state._replace(pos=new_pos, vel=new_vel)
@@ -236,7 +342,7 @@ def make_hybrid_step(triangles, cfg: SimConfig, camera) -> StepFn:
     """
     from particlesystemhybridcollisiondetection_tpu.ops.grid import (
         build_triangle_grid,
-        gather_candidates,
+        pack_grid,
     )
     from particlesystemhybridcollisiondetection_tpu.ops.screenspace import (
         bake_camera,
@@ -245,6 +351,8 @@ def make_hybrid_step(triangles, cfg: SimConfig, camera) -> StepFn:
 
     tex = bake_camera(triangles, camera)
     grid, meta = build_triangle_grid(triangles, cfg.grid)
+    group = 8
+    packed, num_groups = pack_grid(grid, meta, group=group)
     gravity = jnp.asarray(cfg.gravity, dtype=jnp.float32)
 
     @jax.jit
@@ -252,17 +360,9 @@ def make_hybrid_step(triangles, cfg: SimConfig, camera) -> StepFn:
         state, undecided = screen_space_collide(
             state, tex, gravity, cfg.dt, hybrid=True
         )
-        v0, v1, v2, mask = gather_candidates(grid, meta, state.pos)
-        state = spatial_collide(
-            state,
-            v0,
-            v1,
-            v2,
-            gravity,
-            cfg.dt,
-            cfg.backoff,
-            cand_mask=mask,
-            active=undecided,
+        state = spatial_collide_packed(
+            state, packed, meta, num_groups, group, gravity, cfg.dt,
+            cfg.backoff, active=undecided,
         )
         new_pos, new_vel = integrate(state.pos, state.vel, gravity, cfg.dt)
         return state._replace(pos=new_pos, vel=new_vel)

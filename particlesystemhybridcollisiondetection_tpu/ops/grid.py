@@ -189,6 +189,63 @@ def _build_native(triangles, cfg: GridConfig, margin: float):
     return grid, meta
 
 
+class PackedGrid(NamedTuple):
+    """Gather-optimized layout of the CSR grid.
+
+    TPU XLA gathers cost roughly per-row, not per-byte (measured ~0.5 ms
+    per [262k] gather inside a step, vs ~0.03 ms for a fused elementwise
+    pass) -- so the streaming narrow phase's ~10 gathers per candidate
+    slot dominate everything.  This layout packs ``group`` candidate
+    triangles' vertices into one row so a single row-gather feeds G
+    candidates, and fuses (start, count) into one [C, 2] row-gather:
+    ~(1 + K/G) gathers per step instead of ~10*K.
+
+    rows:  f32[Pg, group * 9]  (v0 v1 v2 xyz per candidate; sentinel-
+           padded cells, rows of 1e38 beyond each cell's count)
+    cells: i32[C, 2] = (first packed row, pair count) per cell
+    """
+
+    rows: jnp.ndarray
+    cells: jnp.ndarray
+
+
+def pack_grid(grid: TriangleGrid, meta: GridMeta, group: int = 8):
+    """Build the packed layout (host side, once per scene).
+
+    Returns (PackedGrid, num_groups_max) where num_groups_max =
+    ceil(max_tris_per_cell / group) bounds the per-step gather loop.
+    """
+    offsets = np.asarray(grid.offsets).astype(np.int64)
+    tri_ids = np.asarray(grid.tri_ids)
+    counts = np.diff(offsets)
+    groups = (counts + group - 1) // group  # packed rows per cell
+    row_start = np.concatenate([[0], np.cumsum(groups)])
+    pg_rows = int(row_start[-1])
+
+    verts = np.concatenate(
+        [np.asarray(grid.v0).T, np.asarray(grid.v1).T, np.asarray(grid.v2).T],
+        axis=1,
+    ).astype(np.float32)  # [T, 9]
+
+    rows = np.full((max(pg_rows, 1), group, 9), 1.0e38, dtype=np.float32)
+    # scatter each pair into its packed slot
+    cell_of_pair = np.repeat(np.arange(len(counts)), counts)
+    rank = np.arange(len(tri_ids)) - np.repeat(offsets[:-1], counts)
+    dst_row = row_start[cell_of_pair] + rank // group
+    dst_slot = rank % group
+    rows[dst_row, dst_slot] = verts[tri_ids]
+
+    cells = np.stack(
+        [row_start[:-1], counts], axis=1
+    ).astype(np.int32)  # [C, 2]
+    packed = PackedGrid(
+        rows=jnp.asarray(rows.reshape(max(pg_rows, 1), group * 9)),
+        cells=jnp.asarray(cells),
+    )
+    num_groups_max = int(groups.max()) if len(groups) else 1
+    return packed, max(num_groups_max, 1)
+
+
 def cell_index(pos: jnp.ndarray, meta: GridMeta) -> jnp.ndarray:
     """i32[N] linear cell id for particle positions [3, N] (clamped)."""
     origin = jnp.asarray(meta.origin, dtype=pos.dtype)

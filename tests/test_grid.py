@@ -74,26 +74,30 @@ def test_grid_step_equals_bruteforce_step():
     mask = np.asarray(active_mask(state))
 
     bf = make_spatial_step_bruteforce(scene.triangles, cfg)
-    gr = make_spatial_step_grid(scene.triangles, cfg)
+    variants = {
+        v: make_spatial_step_grid(scene.triangles, cfg, variant=v)
+        for v in ("dense", "stream", "packed")
+    }
 
     s = state
     checked = 0
     for k in range(1500):
         s_next_bf = bf(s)
         if k % 25 == 0 or int(s_next_bf.collisions.sum()) != int(s.collisions.sum()):
-            s_next_gr = gr(s)
-            np.testing.assert_array_equal(
-                np.asarray(s_next_gr.collisions)[mask],
-                np.asarray(s_next_bf.collisions)[mask],
-                err_msg=f"step {k}: hit sets differ",
-            )
-            np.testing.assert_allclose(
-                np.asarray(s_next_gr.pos)[:, mask],
-                np.asarray(s_next_bf.pos)[:, mask],
-                rtol=1e-5,
-                atol=1e-6,
-                err_msg=f"step {k}",
-            )
+            for name, gr in variants.items():
+                s_next_gr = gr(s)
+                np.testing.assert_array_equal(
+                    np.asarray(s_next_gr.collisions)[mask],
+                    np.asarray(s_next_bf.collisions)[mask],
+                    err_msg=f"step {k} [{name}]: hit sets differ",
+                )
+                np.testing.assert_allclose(
+                    np.asarray(s_next_gr.pos)[:, mask],
+                    np.asarray(s_next_bf.pos)[:, mask],
+                    rtol=1e-5,
+                    atol=1e-6,
+                    err_msg=f"step {k} [{name}]",
+                )
             checked += 1
         s = s_next_bf
 

@@ -1,0 +1,105 @@
+"""Profiling utils + resilient runner (fault injection)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from particlesystemhybridcollisiondetection_tpu.bench.resilient import (
+    DeviceLost,
+    ResilientRunner,
+)
+from particlesystemhybridcollisiondetection_tpu.config import PRESETS
+from particlesystemhybridcollisiondetection_tpu.core.state import spawn_grid
+from particlesystemhybridcollisiondetection_tpu.core.step import (
+    make_spatial_step_bruteforce,
+)
+from particlesystemhybridcollisiondetection_tpu.geometry.scenes import sample_scene
+from particlesystemhybridcollisiondetection_tpu.utils.profiling import (
+    DeviceTimer,
+    StepTimeseries,
+    Stopwatch,
+    phase_times,
+)
+
+
+def test_stopwatch_and_timeseries():
+    sw = Stopwatch()
+    x = sum(range(10000))
+    sw.lap("sum")
+    assert "sum" in sw.laps and sw.laps["sum"] >= 0
+    assert "total" in sw.report()
+
+    ts = StepTimeseries()
+    for k in range(5):
+        ts.record(0.01)
+    s = ts.summary()
+    assert s["steps"] == 4  # first step skipped (ParticleSys.cs:457)
+    assert abs(s["mean_ms"] - 10.0) < 1e-6
+
+
+def test_device_timer_and_phases():
+    scene = sample_scene()
+    step = make_spatial_step_bruteforce(scene.triangles, scene.config)
+    state = spawn_grid(scene.config, layers_y=1)
+    t = DeviceTimer(step, state, reps=3, warmup=1)
+    assert t.compile_s > 0 and t.mean_ms > 0
+
+    phases = phase_times(
+        [
+            ("collide+integrate", step),
+            ("integrate-only", lambda s: s._replace(pos=s.pos + s.vel * 0.001)),
+        ],
+        state,
+        reps=2,
+    )
+    assert set(phases) == {"collide+integrate", "integrate-only"}
+    assert phases["collide+integrate"] > phases["integrate-only"]
+
+
+def test_resilient_runner_recovers_from_injected_failures():
+    """Step factory whose first product dies after 120 calls: the runner
+    must recover from its snapshot and finish with correct physics."""
+    scene = sample_scene()
+    cfg = scene.config
+    state = spawn_grid(cfg, layers_y=1)
+
+    real_step = make_spatial_step_bruteforce(scene.triangles, cfg)
+    calls = {"n": 0, "made": 0}
+
+    def factory():
+        calls["made"] += 1
+        first = calls["made"] == 1
+
+        def step(s):
+            calls["n"] += 1
+            if first and calls["n"] == 120:
+                raise RuntimeError("injected device loss")
+            return real_step(s)
+
+        return step
+
+    runner = ResilientRunner(factory, chunk=50, max_retries=2, retry_wait_s=0.1)
+    out = runner.run(state, total_steps=300)
+    assert runner.recoveries == 1
+    # reference trajectory without failure
+    ref = state
+    for _ in range(300):
+        ref = real_step(ref)
+    np.testing.assert_allclose(
+        np.asarray(out.pos), np.asarray(ref.pos), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_resilient_runner_gives_up():
+    def factory():
+        def step(s):
+            raise RuntimeError("always broken")
+
+        return step
+
+    state = spawn_grid(PRESETS["sample"], layers_y=1)
+    runner = ResilientRunner(factory, chunk=10, max_retries=1, retry_wait_s=0.05)
+    try:
+        runner.run(state, total_steps=20)
+        raise AssertionError("expected DeviceLost")
+    except DeviceLost:
+        pass
