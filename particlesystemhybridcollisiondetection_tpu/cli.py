@@ -202,6 +202,18 @@ def cmd_p2pbox(args) -> int:
     return 0
 
 
+def cmd_config(args) -> int:
+    from particlesystemhybridcollisiondetection_tpu.bench.configs import CONFIGS
+
+    kwargs = {}
+    if args.steps is not None:
+        kwargs["steps"] = args.steps
+    if args.particles is not None and args.id in (1, 2, 4, 5):
+        kwargs["n"] = args.particles
+    print(json.dumps(CONFIGS[args.id](**kwargs)))
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         prog="particlesystemhybridcollisiondetection_tpu"
@@ -241,6 +253,12 @@ def main(argv=None) -> int:
     _add_scene_args(g)
     g.add_argument("--out", default="BenchmarkResults")
     g.set_defaults(fn=cmd_gridviz)
+
+    c = sub.add_parser("config", help="run a driver benchmark config (1-5)")
+    c.add_argument("--id", type=int, required=True, choices=[1, 2, 3, 4, 5])
+    c.add_argument("--steps", type=int, default=None)
+    c.add_argument("--particles", type=int, default=None)
+    c.set_defaults(fn=cmd_config)
 
     p = sub.add_parser("p2pbox", help="gravity-box particle-particle demo")
     p.add_argument("--particles", type=int, default=2048)

@@ -191,36 +191,44 @@ def spatial_collide_packed(
     count = info[:, 1]
     max_row = packed.rows.shape[0] - 1
 
-    slot_idx = jnp.arange(group, dtype=jnp.int32)[None, :]  # [1, G]
+    # Candidate axis goes on the SUBLANES, particles stay on the 128-wide
+    # lanes: all narrow-phase arithmetic runs at [G, N] shape (G = 8 =
+    # exactly the f32 sublane count).  The trailing-[.., G] layout wastes
+    # 94% of the vector lanes -- measured as the dominant cost of the
+    # first packed implementation.
+    slot_idx = jnp.arange(group, dtype=jnp.int32)[:, None]  # [G, 1]
+    p0b = pos[:, None, :]  # [3, 1, N]
+    dirb = dirn[:, None, :]
+    seg2b = seg_len2[None, :]  # [1, N]
+    rb = state.radius[None, :]
 
     def body(g, acc):
         best_t2, best_t, best_n, any_hit = acc
         rows = packed.rows[jnp.clip(row0 + g, 0, max_row)]  # [N, G*9]
-        r3 = rows.reshape(n, group, 9)
-        # [3, N, G] candidate vertices
-        v0 = jnp.moveaxis(r3[:, :, 0:3], -1, 0)
-        v1 = jnp.moveaxis(r3[:, :, 3:6], -1, 0)
-        v2 = jnp.moveaxis(r3[:, :, 6:9], -1, 0)
-        valid = (g * group + slot_idx) < count[:, None]  # [N, G]
+        r3 = jnp.transpose(rows, (1, 0)).reshape(group, 9, n)  # [G, 9, N]
+        v0 = jnp.stack([r3[:, 0], r3[:, 1], r3[:, 2]])  # [3, G, N]
+        v1 = jnp.stack([r3[:, 3], r3[:, 4], r3[:, 5]])
+        v2 = jnp.stack([r3[:, 6], r3[:, 7], r3[:, 8]])
+        valid = (g * group + slot_idx) < count[None, :]  # [G, N]
 
-        hits = nphase.particle_vs_triangles(
-            pos, dirn, seg_len2, v0, v1, v2, state.radius
+        hits = nphase.particle_vs_triangles_pre(
+            p0b, dirb, seg2b, v0, v1, v2, rb
         )
-        hit_g = hits.hit & valid
+        hit_g = hits.hit & valid  # [G, N]
         t2_g = jnp.where(hit_g, hits.t2, jnp.inf)
 
-        # fold the G candidates into the running nearest
-        k_best = jnp.argmin(t2_g, axis=-1)
+        # fold the G candidates into the running nearest (sublane argmin)
+        k_best = jnp.argmin(t2_g, axis=0)  # [N]
         tk = jnp.take_along_axis
-        t2_j = tk(t2_g, k_best[:, None], axis=-1)[:, 0]
-        t_j = tk(hits.t, k_best[:, None], axis=-1)[:, 0]
-        n_j = tk(hits.normal, k_best[None, :, None], axis=-1)[..., 0]
+        t2_j = tk(t2_g, k_best[None, :], axis=0)[0]
+        t_j = tk(hits.t, k_best[None, :], axis=0)[0]
+        n_j = tk(hits.normal, k_best[None, None, :], axis=1)[:, 0]
         take = t2_j < best_t2
         return (
             jnp.where(take, t2_j, best_t2),
             jnp.where(take, t_j, best_t),
             vec.where(take, n_j, best_n),
-            any_hit | hit_g.any(axis=-1),
+            any_hit | hit_g.any(axis=0),
         )
 
     init = (
@@ -376,6 +384,7 @@ def make_p2p_step(
     cfg: SimConfig,
     cell_size: Optional[float] = None,
     capacity: int = 8,
+    variant: str = "auto",
 ) -> StepFn:
     """Gravity-box step with particle-particle collisions + container walls
     (driver benchmark configs 1/2/4/5; capability extension over the
@@ -383,21 +392,32 @@ def make_p2p_step(
 
     Order per step: p2p impulses -> wall response -> integrate, keeping
     the collide-before-integrate convention.
+
+    ``variant``: "slots" (gather loop; any domain size), "dense" (the
+    gather-free cell-table stencil; wins when the box is well occupied --
+    its cost scales with cell count, not particle count), or "auto"
+    (dense on TPU where gathers are the bottleneck, slots elsewhere).
     """
+    if variant == "auto":
+        variant = "dense" if jax.default_backend() == "tpu" else "slots"
     from particlesystemhybridcollisiondetection_tpu.core.state import active_mask
     from particlesystemhybridcollisiondetection_tpu.ops import p2p as p2p_ops
     from particlesystemhybridcollisiondetection_tpu.ops import pgrid as pg
+    from particlesystemhybridcollisiondetection_tpu.ops.p2p_dense import (
+        p2p_collide_dense,
+    )
 
     h = cell_size
     gravity = jnp.asarray(cfg.gravity, dtype=jnp.float32)
     if h is None:
         h = 2.0 * cfg.particle_radius
     meta = pg.make_meta(box_lo, box_hi, h, capacity=capacity)
+    collide = p2p_collide_dense if variant == "dense" else p2p_ops.p2p_collide
 
     @jax.jit
     def step(state: ParticleState) -> ParticleState:
         act = active_mask(state)
-        state, _overflow = p2p_ops.p2p_collide(state, meta, active=act)
+        state, _overflow = collide(state, meta, active=act)
         state = p2p_ops.box_walls_collide(state, box_lo, box_hi, gravity, cfg.dt)
         new_pos, new_vel = integrate(state.pos, state.vel, gravity, cfg.dt)
         return state._replace(pos=new_pos, vel=new_vel)

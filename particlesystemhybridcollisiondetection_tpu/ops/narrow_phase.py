@@ -146,15 +146,28 @@ class TriangleHits(NamedTuple):
 
 
 def particle_vs_triangles(p0, dirn, seg_len2, v0, v1, v2, radius) -> TriangleHits:
-    """Swept sphere vs a batch of candidate triangles.
+    """Swept sphere vs a batch of candidate triangles (candidates on the
+    LAST axis: v0 is [3, N, K]).
 
     ``seg_len2``: [N] squared travel distance |vel*dt|^2 (compute:226-230).
     ``radius``: [N]; broadcast over the candidate axis.
     Mirrors ParticleTriangleIntersection (compute:163-233).
+
+    NOTE on layouts: the trailing candidate axis is convenient but
+    lane-hostile on TPU when K << 128 (the minor axis rides the 128-wide
+    lanes).  The production path uses ``particle_vs_triangles_pre`` with a
+    [3, G, N] layout instead; this wrapper stays for the oracle-shaped
+    tests and the dense variant.
     """
     p0 = p0[..., None]  # [3, N, 1] -> broadcasts over K
     dirn = dirn[..., None]
     r = radius[..., None]  # [N, 1] -> broadcasts over K
+    return particle_vs_triangles_pre(p0, dirn, seg_len2[..., None], v0, v1, v2, r)
+
+
+def particle_vs_triangles_pre(p0, dirn, seg_len2, v0, v1, v2, r) -> TriangleHits:
+    """Shape-agnostic core: all arguments pre-broadcast against the
+    candidate vertex arrays (axis 0 = xyz for the vector args)."""
     # Triangle normal, oriented against the motion (compute:169-171).
     n = vec.normalize(vec.cross(v1 - v0, v2 - v0))
     n = vec.where(vec.dot(n, dirn) <= 0.0, n, -n)
@@ -186,7 +199,7 @@ def particle_vs_triangles(p0, dirn, seg_len2, v0, v1, v2, radius) -> TriangleHit
     # Span check (compute:226-231): reject hits beyond this step's travel.
     # best_t2 stays +inf when only-NaN sub-hits occurred, so those reject
     # here exactly like the reference's FLOAT_MAX collision point does.
-    hit = any_hit & (best_t2 <= seg_len2[..., None])
+    hit = any_hit & (best_t2 <= seg_len2)
     t2 = jnp.where(hit, best_t2, _INF)
     return TriangleHits(hit=hit, t=best_t, t2=t2, normal=n)
 

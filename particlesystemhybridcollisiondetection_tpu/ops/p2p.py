@@ -117,6 +117,47 @@ def p2p_collide(
     )
 
 
+def p2p_collide_allpairs(
+    state: ParticleState,
+    *,
+    beta: float = 0.5,
+    active=None,
+) -> ParticleState:
+    """Direct O(n^2) all-pairs evaluation of the same contact model
+    (driver benchmark config 1's reference path; also the oracle for the
+    grid variants).  Dense [N, N] broadcasting -- use at <= ~10k
+    particles."""
+    pos, velo = state.pos, state.vel
+    n = pos.shape[-1]
+    mass = state.radius**3
+    live = active if active is not None else jnp.ones((n,), dtype=bool)
+
+    d = pos[:, :, None] - pos[:, None, :]  # [3, N, N] (i - j)
+    dist2 = vec.norm2(d)
+    rsum = state.radius[:, None] + state.radius[None, :]
+    eye = jnp.eye(n, dtype=bool)
+    touching = (
+        live[:, None] & live[None, :] & ~eye & (dist2 < rsum * rsum) & (dist2 > 0.0)
+    )
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-30))
+    nrm = d / dist[None]
+    v_rel = velo[:, :, None] - velo[:, None, :]
+    vn = vec.dot(v_rel, nrm)
+    approaching = touching & (vn < 0.0)
+    e = 0.5 * (state.restitution[:, None] + state.restitution[None, :])
+    w = mass[None, :] / (mass[:, None] + mass[None, :])
+    imp = jnp.where(approaching, -(1.0 + e) * vn * w, 0.0)
+    dv = jnp.sum(nrm * imp[None], axis=-1)
+    overlap = jnp.where(touching, rsum - dist, 0.0)
+    dp = jnp.sum(nrm * (beta * overlap * w)[None], axis=-1)
+    ncontacts = touching.sum(axis=-1).astype(jnp.int32)
+    return state._replace(
+        pos=pos + dp,
+        vel=velo + dv,
+        collisions=state.collisions + ncontacts,
+    )
+
+
 def box_walls_collide(
     state: ParticleState,
     lo,

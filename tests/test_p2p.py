@@ -122,6 +122,28 @@ def test_gravity_box_settles():
     assert d.min() > 0.4  # >= half the contact distance (0.8) => no deep overlap
 
 
+def test_p2p_dense_stencil_matches_bruteforce():
+    """The gather-free dense-cell stencil variant implements the identical
+    contact model."""
+    from particlesystemhybridcollisiondetection_tpu.ops.p2p_dense import (
+        p2p_collide_dense,
+    )
+
+    rng = np.random.default_rng(4)
+    n = 96
+    pos = rng.uniform(0.5, 7.5, size=(n, 3)).astype(F)
+    vel = (rng.normal(size=(n, 3)) * 2).astype(F)
+    radius = rng.uniform(0.15, 0.3, size=n).astype(F)
+    rest = rng.uniform(0.2, 0.8, size=n).astype(F)
+    ref_pos, ref_vel, ref_ct = brute_force_p2p(pos, vel, radius, rest)
+    meta = pg.make_meta((0, 0, 0), (8, 8, 8), cell_size=0.6, capacity=16)
+    out, overflow = p2p_collide_dense(_state(pos, vel, radius, rest), meta)
+    assert int(overflow) == 0
+    np.testing.assert_array_equal(np.asarray(out.collisions), ref_ct)
+    np.testing.assert_allclose(np.asarray(out.pos).T, ref_pos, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.vel).T, ref_vel, rtol=1e-4, atol=1e-5)
+
+
 def test_pgrid_overflow_counted():
     """Overstuffed cell -> overflow is reported, not silently dropped."""
     n = 32
