@@ -25,14 +25,15 @@ def main() -> None:
     from particlesystemhybridcollisiondetection_tpu.bench.harness import run_episode
     from particlesystemhybridcollisiondetection_tpu.geometry.scenes import bunny_scene
 
-    # 128^2 * 16 layers = 262,144 particles on the bunny scene (30k-tri
-    # collider + ground), spatial grid method, 300 timed steps.
+    # 128^2 * 64 layers = 1,048,576 particles on the bunny scene (30k-tri
+    # collider + ground), spatial method (sorted block-window Pallas
+    # pipeline on TPU), 300 timed steps.
     scene = bunny_scene(width=480, height=270)
     t0 = time.time()
     result = run_episode(
         scene,
         "spatial",
-        layers_y=16,
+        layers_y=64,
         num_steps=301,
         chunk=50,
         warmup_steps=1,
@@ -41,7 +42,7 @@ def main() -> None:
 
     value = result.particle_steps_per_sec
     out = {
-        "metric": "particle_steps_per_sec_spatial_bunny_262k",
+        "metric": "particle_steps_per_sec_spatial_bunny_1M",
         "value": round(value, 1),
         "unit": "particle-steps/s",
         "vs_baseline": round(value / BASELINE_PARTICLE_STEPS_PER_SEC, 4),

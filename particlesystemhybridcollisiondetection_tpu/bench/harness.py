@@ -93,17 +93,17 @@ def run_episode(
             step_ms.append((time.perf_counter() - t0) * 1000.0)
         total_s = sum(step_ms) / 1000.0
     else:
-        runner = make_episode_runner(step, chunk)
+        # python-loop dispatch with a fence per chunk: dispatch overhead is
+        # ~0.1 ms/step, while wrapping the step in lax.fori_loop was
+        # measured 4.7x slower on TPU (XLA compiles the loop body without
+        # the step's standalone optimizations).
         done = 0
         t_start = time.perf_counter()
         while done < timed_steps:
             n = min(chunk, timed_steps - done)
             t0 = time.perf_counter()
-            if n == chunk:
-                state = runner(state)
-            else:
-                for _ in range(n):
-                    state = step(state)
+            for _ in range(n):
+                state = step(state)
             jax.block_until_ready(state.pos)
             ms = (time.perf_counter() - t0) * 1000.0 / n
             step_ms.extend([ms] * n)

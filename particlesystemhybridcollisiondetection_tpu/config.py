@@ -14,10 +14,10 @@ import enum
 from typing import Tuple
 
 # The reference pads particle counts to its 32-wide thread groups
-# (ParticleSys.cs:90, :247-255).  On TPU the natural quantum is a lane
-# row: f32 arrays tile as (8, 128), and state is stored as [3, N], so we
-# pad N to a multiple of 128.
-PARTICLE_PAD = 128
+# (ParticleSys.cs:90, :247-255).  On TPU the natural quantum is a
+# (8, 128) = 1024-particle block -- the unit the sorted block-window
+# Pallas pipeline processes -- so N pads to a multiple of 1024.
+PARTICLE_PAD = 1024
 
 # Sentinel position for padding particles (ParticleSys.cs:102).
 FLOAT_SENTINEL = 1.0e38

@@ -394,12 +394,13 @@ def make_p2p_step(
     the collide-before-integrate convention.
 
     ``variant``: "slots" (gather loop; any domain size), "dense" (the
-    gather-free cell-table stencil; wins when the box is well occupied --
-    its cost scales with cell count, not particle count), or "auto"
-    (dense on TPU where gathers are the bottleneck, slots elsewhere).
+    gather-free cell-table stencil), or "auto" (currently slots: the
+    dense table's trailing [M, F] dims trigger TPU (8,128) tile padding
+    -- a 16x memory blowup observed as an OOM at 1M particles -- until
+    it is relaid out planar like the spatial window kernel).
     """
     if variant == "auto":
-        variant = "dense" if jax.default_backend() == "tpu" else "slots"
+        variant = "slots"
     from particlesystemhybridcollisiondetection_tpu.core.state import active_mask
     from particlesystemhybridcollisiondetection_tpu.ops import p2p as p2p_ops
     from particlesystemhybridcollisiondetection_tpu.ops import pgrid as pg
@@ -425,18 +426,322 @@ def make_p2p_step(
     return step
 
 
-def make_method_step(scene, method, camera_index: int = 0) -> StepFn:
-    """Factory over the three collision methods (ParticleSys.cs:667-698)."""
+def make_hybrid_step_sorted(
+    triangles,
+    cfg: SimConfig,
+    camera,
+    *,
+    window: int = 512,
+    fallback_capacity: int = 8192,
+    interpret: bool = False,
+) -> StepFn:
+    """Hybrid method with the sorted block-window Pallas kernel as the
+    exact fallback stage.
+
+    The screen-space stage runs in XLA (pure gathers, cheap); undecided
+    particles then go through the sorted spatial pipeline with their
+    candidate counts zeroed for decided particles -- the mask costs
+    nothing because the kernel's per-block candidate loop adapts to the
+    live counts.  Integration is fused into the kernel for everyone.
+    """
+    from particlesystemhybridcollisiondetection_tpu.ops.grid import (
+        build_triangle_grid,
+        cell_index,
+        pack_grid,
+    )
+    from particlesystemhybridcollisiondetection_tpu.ops.pallas.window_kernel import (
+        BLOCK,
+        build_window_tables,
+        window_collide_sorted,
+    )
+    from particlesystemhybridcollisiondetection_tpu.ops.screenspace import (
+        bake_camera,
+        screen_space_collide,
+    )
+
+    tex = bake_camera(triangles, camera)
+    grid, meta = build_triangle_grid(triangles, cfg.grid)
+    tables = build_window_tables(grid, meta, window)
+    group = 8
+    packed, num_groups = pack_grid(grid, meta, group=group)
+    gravity = jnp.asarray(cfg.gravity, dtype=jnp.float32)
+    m_cap = fallback_capacity
+
+    @jax.jit
+    def _step(state: ParticleState, tex, tables, packed) -> ParticleState:
+        state, undecided = screen_space_collide(
+            state, tex, gravity, cfg.dt, hybrid=True
+        )
+        pos, vel = state.pos, state.vel
+        n = pos.shape[-1]
+        assert n % BLOCK == 0, n
+        nb = n // BLOCK
+
+        cid = cell_index(pos, meta)
+        ids = jnp.arange(n, dtype=jnp.int32)
+        cid_s, perm = jax.lax.sort((cid, ids), num_keys=1)
+        rows = jnp.concatenate(
+            [pos.T, vel.T, state.radius[:, None], state.restitution[:, None],
+             undecided[:, None].astype(jnp.float32)],
+            axis=1,
+        )
+        rows_s = rows[perm]
+        pos_s = rows_s[:, 0:3].T
+        vel_s = rows_s[:, 3:6].T
+        radius_s = rows_s[:, 6]
+        restit_s = rows_s[:, 7]
+        active_s = rows_s[:, 8] > 0.5
+
+        info = tables.cells[cid_s]
+        start = info[:, 0]
+        count = jnp.where(active_s, info[:, 1], 0)  # decided -> no candidates
+
+        sb = jnp.where(active_s, start, jnp.int32(1 << 30)).reshape(nb, BLOCK)
+        cb = count.reshape(nb, BLOCK)
+        big = jnp.int32(1 << 30)
+        ws = jnp.min(jnp.where(cb > 0, sb, big), axis=1)
+        ws = jnp.where(ws == big, 0, ws)
+        ws = (ws // 128) * 128
+        k_cap = jnp.max(cb, axis=1)
+        rel = start - jnp.broadcast_to(ws[:, None], (nb, BLOCK)).reshape(n)
+        rel = jnp.where(count > 0, rel, 0)
+        overflow = (count > 0) & ((rel < 0) | (rel + count > window))
+        rel = jnp.clip(rel, 0, window - 1)
+
+        pos_k, vel_k, hit_k = window_collide_sorted(
+            pos_s, vel_s, radius_s, restit_s, rel, count, ws, k_cap, tables,
+            w=window, k_static=meta.max_tris_per_cell,
+            gravity=cfg.gravity, dt=cfg.dt, backoff=cfg.backoff,
+            interpret=interpret,
+        )
+
+        m_eff = min(m_cap, n)
+        ord2 = jnp.argsort(jnp.logical_not(overflow), stable=True)
+        pick = ord2[:m_eff]
+        mini = ParticleState(
+            pos=pos_s[:, pick],
+            vel=vel_s[:, pick],
+            collisions=jnp.zeros((m_eff,), dtype=jnp.int32),
+            radius=radius_s[pick],
+            restitution=restit_s[pick],
+        )
+        mini = spatial_collide_packed(
+            mini, packed, meta, num_groups, group, gravity, cfg.dt,
+            cfg.backoff, active=active_s[pick],
+        )
+        fb_pos, fb_vel = integrate(mini.pos, mini.vel, gravity, cfg.dt)
+        redo = overflow[pick]
+        pos_k = pos_k.at[:, pick].set(jnp.where(redo[None], fb_pos, pos_k[:, pick]))
+        vel_k = vel_k.at[:, pick].set(jnp.where(redo[None], fb_vel, vel_k[:, pick]))
+        hit_k = hit_k.at[pick].set(jnp.where(redo, mini.collisions, hit_k[pick]))
+
+        out_rows = jnp.concatenate(
+            [pos_k.T, vel_k.T, hit_k[:, None].astype(jnp.float32)], axis=1
+        )
+        unsorted = jnp.zeros_like(out_rows).at[perm].set(out_rows)
+        return state._replace(
+            pos=unsorted[:, 0:3].T,
+            vel=unsorted[:, 3:6].T,
+            collisions=state.collisions + unsorted[:, 6].astype(jnp.int32),
+        )
+
+    def step(state: ParticleState) -> ParticleState:
+        return _step(state, tex, tables, packed)
+
+    return step
+
+
+def make_method_step(
+    scene, method, camera_index: int = 0, spatial_variant: str = "auto"
+) -> StepFn:
+    """Factory over the three collision methods (ParticleSys.cs:667-698).
+
+    ``spatial_variant``: "auto" picks the sorted block-window Pallas
+    pipeline on TPU (the performance path) and the packed XLA path
+    elsewhere; or name one of sorted/packed/stream/dense explicitly.
+    """
     from particlesystemhybridcollisiondetection_tpu.config import Method
 
     method = Method(method)
     cfg = scene.config
     if method == Method.SPATIAL:
-        return make_spatial_step_grid(scene.triangles, cfg)
+        v = spatial_variant
+        if v == "auto":
+            v = "sorted" if jax.default_backend() == "tpu" else "packed"
+        if v == "sorted":
+            return make_spatial_step_sorted(scene.triangles, cfg)
+        return make_spatial_step_grid(scene.triangles, cfg, variant=v)
     camera = scene.cameras[camera_index]
     if method == Method.SCREEN_SPACE:
         return make_screenspace_step(scene.triangles, cfg, camera)
+    v = spatial_variant
+    if v == "auto":
+        v = "sorted" if jax.default_backend() == "tpu" else "packed"
+    if v == "sorted":
+        return make_hybrid_step_sorted(scene.triangles, cfg, camera)
     return make_hybrid_step(scene.triangles, cfg, camera)
+
+
+def make_spatial_step_sorted(
+    triangles,
+    cfg: SimConfig,
+    *,
+    window: int = 512,
+    fallback_capacity: int = 8192,
+    interpret: bool = False,
+) -> StepFn:
+    """Spatial method via the sorted block-window Pallas kernel (see
+    ops/pallas/window_kernel.py) -- the TPU performance path.
+
+    Per step: lax.sort by cell id; one permute row-gather; one (start,
+    count) row-gather; the Pallas kernel fuses candidate fetch (in-VMEM
+    dynamic_gather from a per-block contiguous CSR window), the exact
+    narrow phase, the response, and the integrator; particles whose
+    candidate rows exceed their block's window (possible only in mixed
+    surface/air blocks) are recomputed exactly by a compacted XLA packed
+    pass; results are scattered back to the original particle order.
+    """
+    from particlesystemhybridcollisiondetection_tpu.ops.grid import (
+        build_triangle_grid,
+        cell_index,
+        pack_grid,
+    )
+    from particlesystemhybridcollisiondetection_tpu.ops.pallas.window_kernel import (
+        BLOCK,
+        build_window_tables,
+        window_collide_sorted,
+    )
+
+    grid, meta = build_triangle_grid(triangles, cfg.grid)
+    tables = build_window_tables(grid, meta, window)
+    group = 8
+    packed, num_groups = pack_grid(grid, meta, group=group)
+    gravity = jnp.asarray(cfg.gravity, dtype=jnp.float32)
+    m_cap = fallback_capacity
+
+    # big tables enter as traced arguments, NOT closure captures: captured
+    # device arrays are serialized into the compile payload (observed as
+    # HTTP 413 on the remote-compile path at ~190 MB)
+    @jax.jit
+    def _step(state: ParticleState, tables, packed) -> ParticleState:
+        pos, vel = state.pos, state.vel
+        n = pos.shape[-1]
+        assert n % BLOCK == 0, (
+            f"sorted variant needs N % {BLOCK} == 0 (got {n}); spawn with "
+            f"pad_multiple={BLOCK}"
+        )
+        nb = n // BLOCK
+
+        cid = cell_index(pos, meta)
+        ids = jnp.arange(n, dtype=jnp.int32)
+        cid_s, perm = jax.lax.sort((cid, ids), num_keys=1)
+
+        rows = jnp.concatenate(
+            [pos.T, vel.T, state.radius[:, None], state.restitution[:, None]],
+            axis=1,
+        )  # [N, 8]
+        rows_s = rows[perm]
+        pos_s = rows_s[:, 0:3].T
+        vel_s = rows_s[:, 3:6].T
+        radius_s = rows_s[:, 6]
+        restit_s = rows_s[:, 7]
+
+        info = tables.cells[cid_s]  # [N, 2]
+        start = info[:, 0]
+        count = info[:, 1]
+
+        sb = start.reshape(nb, BLOCK)
+        cb = count.reshape(nb, BLOCK)
+        occupied = cb > 0
+        big = jnp.int32(1 << 30)
+        ws = jnp.min(jnp.where(occupied, sb, big), axis=1)
+        ws = jnp.where(ws == big, 0, ws)
+        ws = (ws // 128) * 128  # HBM DMA slices must be lane-aligned
+        k_cap = jnp.max(cb, axis=1)
+        rel = start - jnp.broadcast_to(ws[:, None], (nb, BLOCK)).reshape(n)
+        rel = jnp.where(count > 0, rel, 0)
+        overflow = (count > 0) & ((rel < 0) | (rel + count > window))
+        rel = jnp.clip(rel, 0, window - 1)
+
+        pos_k, vel_k, hit_k = window_collide_sorted(
+            pos_s, vel_s, radius_s, restit_s, rel, count, ws, k_cap, tables,
+            w=window, k_static=meta.max_tris_per_cell,
+            gravity=cfg.gravity, dt=cfg.dt, backoff=cfg.backoff,
+            interpret=interpret,
+        )
+
+        # --- exact redo for window-overflow particles (compacted) ---
+        m_eff = min(m_cap, n)
+        ord2 = jnp.argsort(jnp.logical_not(overflow), stable=True)
+        pick = ord2[:m_eff]
+        mini = ParticleState(
+            pos=pos_s[:, pick],
+            vel=vel_s[:, pick],
+            collisions=jnp.zeros((m_eff,), dtype=jnp.int32),
+            radius=radius_s[pick],
+            restitution=restit_s[pick],
+        )
+        mini = spatial_collide_packed(
+            mini, packed, meta, num_groups, group, gravity, cfg.dt, cfg.backoff
+        )
+        fb_pos, fb_vel = integrate(mini.pos, mini.vel, gravity, cfg.dt)
+        redo = overflow[pick]  # [M] which fallback lanes are real
+        # merge: scatter fallback rows over the kernel results
+        pos_k = pos_k.at[:, pick].set(
+            jnp.where(redo[None], fb_pos, pos_k[:, pick])
+        )
+        vel_k = vel_k.at[:, pick].set(
+            jnp.where(redo[None], fb_vel, vel_k[:, pick])
+        )
+        hit_k = hit_k.at[pick].set(
+            jnp.where(redo, mini.collisions, hit_k[pick])
+        )
+
+        # --- unsort back to the caller's particle order ---
+        out_rows = jnp.concatenate(
+            [pos_k.T, vel_k.T, hit_k[:, None].astype(jnp.float32)], axis=1
+        )  # [N, 7]
+        unsorted = jnp.zeros_like(out_rows).at[perm].set(out_rows)
+        return state._replace(
+            pos=unsorted[:, 0:3].T,
+            vel=unsorted[:, 3:6].T,
+            collisions=state.collisions + unsorted[:, 6].astype(jnp.int32),
+        )
+
+    def step(state: ParticleState) -> ParticleState:
+        return _step(state, tables, packed)
+
+    return step
+
+
+def sorted_step_overflow_count(triangles, cfg: SimConfig, state, window: int = 512):
+    """Diagnostic: how many particles would exceed the block window for
+    this state (should be ~0 on the benchmark scenes; the step handles up
+    to fallback_capacity exactly either way)."""
+    from particlesystemhybridcollisiondetection_tpu.ops.grid import (
+        build_triangle_grid,
+        cell_index,
+        pack_grid,
+    )
+    from particlesystemhybridcollisiondetection_tpu.ops.pallas.window_kernel import (
+        BLOCK,
+        build_window_tables,
+    )
+
+    grid, meta = build_triangle_grid(triangles, cfg.grid)
+    tables = build_window_tables(grid, meta, window)
+    n = state.pos.shape[-1]
+    nb = n // BLOCK
+    cid = jnp.sort(cell_index(state.pos, meta))
+    info = tables.cells[cid]
+    start, count = info[:, 0], info[:, 1]
+    sb = start.reshape(nb, BLOCK)
+    cb = count.reshape(nb, BLOCK)
+    big = jnp.int32(1 << 30)
+    ws = jnp.min(jnp.where(cb > 0, sb, big), axis=1)
+    ws = jnp.where(ws == big, 0, ws)
+    rel = start - jnp.broadcast_to(ws[:, None], (nb, BLOCK)).reshape(n)
+    return int(jnp.sum((count > 0) & ((rel < 0) | (rel + count > window))))
 
 
 def make_episode_runner(step: StepFn, num_steps: int) -> Callable[[ParticleState], ParticleState]:

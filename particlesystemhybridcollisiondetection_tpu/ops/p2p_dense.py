@@ -113,38 +113,45 @@ def p2p_collide_dense(
 
     for off in pg.NEIGHBOR_OFFSETS:
         nb = _shift(table, off)  # [Cx, Cy, Cz, M, F]
-        pj = nb[..., 0:3]
-        vj = nb[..., 3:6]
-        rj = nb[..., 6]
-        ej = nb[..., 7]
-        mj = nb[..., 8]
-        occ_j = mj > 0.0
-
-        # all M x M slot pairs within this cell/neighbor pair
-        d = p_t[..., :, None, :] - pj[..., None, :, :]  # [..., M, M, 3]
-        dist2 = jnp.sum(d * d, axis=-1)
-        rsum = r_t[..., :, None] + rj[..., None, :]
         same = off == (0, 0, 0)
-        pair_ok = occ[..., :, None] & occ_j[..., None, :]
-        if same:
-            eye = jnp.eye(m, dtype=bool)
-            pair_ok = pair_ok & ~eye
-        touching = pair_ok & (dist2 < rsum * rsum) & (dist2 > 0.0)
 
-        dist = jnp.sqrt(jnp.maximum(dist2, 1e-30))
-        nrm = d / dist[..., None]
-        v_rel = v_t[..., :, None, :] - vj[..., None, :, :]
-        vn = jnp.sum(v_rel * nrm, axis=-1)
-        approaching = touching & (vn < 0.0)
+        # loop the neighbor slot axis: [*, M, 3]-shaped bodies only (a
+        # full M x M broadcast materializes multi-GB intermediates at 1M+
+        # particles -- observed as an XLA OOM)
+        def slot_body(j, acc, nb=nb, same=same):
+            dv, dp, ncon = acc
+            row = jax.lax.dynamic_index_in_dim(nb, j, axis=-2, keepdims=False)
+            pj = row[..., None, 0:3]  # [*, 1, 3]
+            vj = row[..., None, 3:6]
+            rj = row[..., None, 6]
+            ej = row[..., None, 7]
+            mj = row[..., None, 8]
+            occ_j = mj > 0.0
 
-        e = 0.5 * (e_t[..., :, None] + ej[..., None, :])
-        w = mj[..., None, :] / (m_t[..., :, None] + mj[..., None, :] + 1e-30)
-        imp = jnp.where(approaching, -(1.0 + e) * vn * w, 0.0)
-        dv = dv + jnp.sum(nrm * imp[..., None], axis=-2)
+            d = p_t - pj  # [*, M, 3]
+            dist2 = jnp.sum(d * d, axis=-1)
+            rsum = r_t + rj
+            pair_ok = occ & occ_j
+            if same:
+                slot_ids = jax.lax.broadcasted_iota(jnp.int32, r_t.shape, r_t.ndim - 1)
+                pair_ok = pair_ok & (slot_ids != j)
+            touching = pair_ok & (dist2 < rsum * rsum) & (dist2 > 0.0)
 
-        overlap = jnp.where(touching, rsum - dist, 0.0)
-        dp = dp + jnp.sum(nrm * (beta * overlap * w)[..., None], axis=-2)
-        ncon = ncon + touching.sum(axis=-1).astype(jnp.int32)
+            dist = jnp.sqrt(jnp.maximum(dist2, 1e-30))
+            nrm = d / dist[..., None]
+            v_rel = v_t - vj
+            vn = jnp.sum(v_rel * nrm, axis=-1)
+            approaching = touching & (vn < 0.0)
+
+            e = 0.5 * (e_t + ej)
+            w = mj / (m_t + mj + 1e-30)
+            imp = jnp.where(approaching, -(1.0 + e) * vn * w, 0.0)
+            dv = dv + nrm * imp[..., None]
+            overlap = jnp.where(touching, rsum - dist, 0.0)
+            dp = dp + nrm * (beta * overlap * w)[..., None]
+            return dv, dp, ncon + touching.astype(jnp.int32)
+
+        dv, dp, ncon = jax.lax.fori_loop(0, m, slot_body, (dv, dp, ncon))
 
     # map per-slot results back to particle order
     res = jnp.concatenate(

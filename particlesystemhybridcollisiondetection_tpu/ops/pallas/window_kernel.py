@@ -1,0 +1,388 @@
+"""Sorted block-window narrow-phase Pallas kernel.
+
+The fully TPU-native spatial collision pipeline.  Motivation, from
+measured v5e behavior (BASELINE.md):
+
+  * XLA HBM gathers run at ~12 GB/s effective -- they dominate every
+    XLA-only formulation of the candidate fetch (62 ms/step best case at
+    262k particles).
+  * Mosaic's in-register ``tpu.dynamic_gather`` (lowered from
+    ``jnp.take_along_axis(x, i, axis=1)`` with i.shape == x.shape) runs at
+    ~1800 G elem/s at grid scale -- effectively free.
+
+Pipeline per step (XLA glue + this kernel):
+
+  1. sort particles by grid cell id (lax.sort, ~1 ms),
+  2. one row-gather of each particle's CSR (start, count),
+  3. per block of 8x128 sorted particles: window = [min start, +W) --
+     a *contiguous* CSR row range, because sorted particles' cells are
+     sorted and the pair table is cell-ordered,
+  4. kernel: DMA the window's transposed vertex rows [9, W] into VMEM
+     once per block, then loop candidates k < max(count in block):
+     per-lane dynamic_gather of the 9 components + the exact swept-sphere
+     subtests + running nearest -- all [8, 128] register math,
+  5. per-particle overflow mask (count > 0 and own rows not fully inside
+     the window; impossible for falling particles, rare otherwise) ->
+     handled by a compacted XLA fallback pass outside,
+  6. response + integration fused in-kernel; results unsorted by scatter.
+
+The kernel reimplements the reference narrow-phase math
+(SpatialStructureCollisionDetection.compute:41-233 and response :332-352)
+with identical semantics to ops/narrow_phase.py, asserted by equivalence
+tests against the XLA paths.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from particlesystemhybridcollisiondetection_tpu.ops.grid import GridMeta, TriangleGrid
+
+# block geometry: 8 sublanes x 128 lanes = 1024 particles per block
+SUB, LANE = 8, 128
+BLOCK = SUB * LANE
+_INF = float("inf")
+
+
+class WindowTables(NamedTuple):
+    """Host-built device tables for the kernel."""
+
+    # vertex components pre-replicated across the 8 sublanes so the kernel
+    # can slice aligned [8, w] tiles (Mosaic cannot sublane-broadcast a
+    # mid-offset row slice): pairs_rep[c, s, p] == component c of pair p.
+    pairs_rep: jnp.ndarray  # f32[9, 8, P_pad]
+    cells: jnp.ndarray  # i32[C, 2] = (start, count) per cell
+
+
+def build_window_tables(grid: TriangleGrid, meta: GridMeta, w: int) -> WindowTables:
+    offsets = np.asarray(grid.offsets).astype(np.int64)
+    tri = np.asarray(grid.tri_ids)
+    p = len(tri)
+    verts = np.concatenate(
+        [np.asarray(grid.v0), np.asarray(grid.v1), np.asarray(grid.v2)], axis=0
+    )  # [9, T]
+    pairs = verts[:, tri]  # [9, P]
+    p_pad = ((p + w) // LANE + 1) * LANE
+    pt = np.full((9, 1, p_pad), 1.0e38, dtype=np.float32)
+    pt[:, 0, :p] = pairs
+    pt = np.broadcast_to(pt, (9, SUB, p_pad)).copy()
+    counts = np.diff(offsets)
+    cells = np.stack([offsets[:-1], counts], axis=1).astype(np.int32)
+    return WindowTables(pairs_rep=jnp.asarray(pt), cells=jnp.asarray(cells))
+
+
+def _lane_gather(tab, idx):
+    """tab: [8, S*128] sublane-replicated window values; idx: [8, 128] in
+    [0, S*128).  Composes S in-register gathers + selects (the Mosaic
+    dynamic_gather primitive shuffles within 128 lanes)."""
+    s = tab.shape[-1] // LANE
+    lane_i = idx % LANE
+    seg = idx // LANE
+    out = None
+    for k in range(s):
+        g = jnp.take_along_axis(tab[:, k * LANE : (k + 1) * LANE], lane_i, axis=1)
+        out = g if out is None else jnp.where(seg == k, g, out)
+    return out
+
+
+def _kernel(
+    # scalar prefetch
+    win_start_ref,  # i32[NB]
+    k_cap_ref,  # i32[NB]
+    # inputs
+    pos_ref,  # f32[3, 8, 128] block (sorted)
+    vel_ref,
+    radius_ref,  # f32[8, 128]
+    restit_ref,
+    rel_start_ref,  # i32[8, 128] own CSR start - block window start
+    count_ref,  # i32[8, 128]
+    pairs_hbm,  # f32[9, 8, P_pad] in ANY/HBM
+    # outputs
+    pos_out,
+    vel_out,
+    hit_out,  # i32[8, 128]
+    # scratch
+    win_ref,  # f32[9, 8, W] VMEM
+    sem,
+    *,
+    w: int,
+    k_static: int,
+    gravity: tuple,
+    dt: float,
+    backoff: float,
+):
+    b = pl.program_id(0)
+    win_start = pl.multiple_of(win_start_ref[b], 128)
+    k_cap = k_cap_ref[b]
+
+    cp = pltpu.make_async_copy(
+        pairs_hbm.at[:, :, pl.ds(win_start, w)], win_ref, sem
+    )
+    cp.start()
+
+    pos = pos_ref[:]
+    vel = vel_ref[:]
+    radius = radius_ref[:]
+    restit = restit_ref[:]
+    rel_start = rel_start_ref[:]
+    count = count_ref[:]
+
+    speed2 = vel[0] * vel[0] + vel[1] * vel[1] + vel[2] * vel[2]
+    inv_speed = jax.lax.rsqrt(jnp.maximum(speed2, 1e-37))
+    dirn = vel * inv_speed[None]
+    seg2 = speed2 * (dt * dt)
+
+    cp.wait()
+
+    def dot3(a, b):
+        return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+    def cross3(a, b):
+        return jnp.stack(
+            [
+                a[1] * b[2] - a[2] * b[1],
+                a[2] * b[0] - a[0] * b[2],
+                a[0] * b[1] - a[1] * b[0],
+            ]
+        )
+
+    def body(k, acc):
+        best_t2, best_t, best_nx, best_ny, best_nz, any_hit = acc
+        idx = jnp.clip(rel_start + k, 0, w - 1)
+        comp = [_lane_gather(win_ref[c], idx) for c in range(9)]
+        v0 = jnp.stack(comp[0:3])
+        v1 = jnp.stack(comp[3:6])
+        v2 = jnp.stack(comp[6:9])
+        valid = (k < count) & (rel_start + k < w)
+
+        # triangle normal flipped against motion (compute:169-171)
+        nr = cross3(v1 - v0, v2 - v0)
+        nlen = jnp.sqrt(jnp.maximum(dot3(nr, nr), 1e-37))
+        nr = nr / nlen[None]
+        flip = dot3(nr, dirn) > 0.0
+        nr = jnp.where(flip[None], -nr, nr)
+        off = nr * radius[None]
+
+        c_t2 = jnp.full_like(best_t2, _INF)
+        c_t = jnp.full_like(best_t, _INF)
+        c_hit = jnp.zeros((SUB, LANE), dtype=bool)
+
+        def consider(hit, t, c_t2, c_t, c_hit):
+            t2 = t * t
+            take = hit & (t2 < c_t2)
+            return (
+                jnp.where(take, t2, c_t2),
+                jnp.where(take, t, c_t),
+                c_hit | hit,
+            )
+
+        # offset planes (compute:174-198)
+        for sgn in (1.0, -1.0):
+            a0 = v0 + sgn * off
+            a1 = v1 + sgn * off
+            a2 = v2 + sgn * off
+            e1 = a1 - a0
+            e2 = a2 - a0
+            rov = pos - a0
+            nn = cross3(e1, e2)
+            q = cross3(rov, dirn)
+            d = 1.0 / dot3(dirn, nn)
+            u = d * -dot3(q, e2)
+            vv = d * dot3(q, e1)
+            t = d * -dot3(nn, rov)
+            hit = ~((u < 0.0) | (vv < 0.0) | ((u + vv) > 1.0))
+            c_t2, c_t, c_hit = consider(hit, t, c_t2, c_t, c_hit)
+
+        # edge cylinders (compute:103-142; geometric cap test, see
+        # ops/narrow_phase.py::ray_cylinder)
+        for (pa, pb) in ((v0, v1), (v1, v2), (v2, v0)):
+            ba = pb - pa
+            oc = pos - pa
+            baba = dot3(ba, ba)
+            bard = dot3(ba, dirn)
+            baoc = dot3(ba, oc)
+            k2 = baba - bard * bard
+            k1 = baba * dot3(oc, dirn) - baoc * bard
+            k0 = baba * dot3(oc, oc) - baoc * baoc - radius * radius * baba
+            h = k1 * k1 - k2 * k0
+            hs = jnp.sqrt(jnp.maximum(h, 0.0))
+            t_body = (-k1 - hs) / k2
+            y = baoc + t_body * bard
+            body_hit = (h >= 0.0) & (y > 0.0) & (y < baba)
+            yc = jnp.where(y < 0.0, 0.0, baba)
+            t_cap = (yc - baoc) / bard
+            qq = oc + dirn * t_cap[None] - ba * (yc / baba)[None]
+            cap_hit = (h >= 0.0) & (dot3(qq, qq) < radius * radius)
+            hit = body_hit | cap_hit
+            t = jnp.where(body_hit, t_body, t_cap)
+            c_t2, c_t, c_hit = consider(hit, t, c_t2, c_t, c_hit)
+
+        # vertex spheres (compute:144-161)
+        for pv in (v0, v1, v2):
+            oc = pv - pos
+            proj = dot3(oc, dirn)
+            disc = radius * radius - (dot3(oc, oc) - proj * proj)
+            hit = disc >= 0.0
+            t = proj - jnp.sqrt(jnp.maximum(disc, 0.0))
+            c_t2, c_t, c_hit = consider(hit, t, c_t2, c_t, c_hit)
+
+        # span check (compute:226-231) + candidate validity
+        tri_hit = c_hit & (c_t2 <= seg2) & valid
+        c_t2 = jnp.where(tri_hit, c_t2, _INF)
+        take = c_t2 < best_t2
+        return (
+            jnp.where(take, c_t2, best_t2),
+            jnp.where(take, c_t, best_t),
+            jnp.where(take, nr[0], best_nx),
+            jnp.where(take, nr[1], best_ny),
+            jnp.where(take, nr[2], best_nz),
+            # f32 mask: Mosaic cannot legalize i1-vector loop carries
+            jnp.maximum(any_hit, tri_hit.astype(jnp.float32)),
+        )
+
+    zeros = jnp.zeros((SUB, LANE), dtype=jnp.float32)
+    init = (
+        jnp.full((SUB, LANE), _INF, dtype=jnp.float32),
+        jnp.full((SUB, LANE), _INF, dtype=jnp.float32),
+        zeros,
+        zeros,
+        zeros,
+        zeros,  # any_hit as f32 mask (no i1 loop carries)
+    )
+    # adaptive trip count: blocks only iterate to their own max cell
+    # count (dynamic while_loop; Mosaic cannot legalize dynamic scf.for)
+    bound = jnp.minimum(k_cap, k_static)
+
+    def w_cond(c):
+        return c[0] < bound
+
+    def w_body(c):
+        k, acc = c
+        return k + 1, body(k, acc)
+
+    _, (best_t2, best_t, nx, ny, nz, any_hit) = jax.lax.while_loop(
+        w_cond, w_body, (jnp.int32(0), init)
+    )
+
+    hit = (any_hit > 0.0) & (best_t2 < _INF) & (speed2 != 0.0)
+    nrm = jnp.stack([nx, ny, nz])
+
+    # response (compute:332-352) + integrator (PSReactionUpdate:18-19)
+    # gravity enters as python floats (static) to avoid captured consts
+    g = jnp.stack(
+        [jnp.full((SUB, LANE), float(gc), dtype=jnp.float32) for gc in gravity]
+    )
+    col_point = pos + dirn * best_t[None]
+    dn = dot3(dirn, nrm)
+    refl = dirn - 2.0 * dn[None] * nrm
+    rlen = jnp.sqrt(jnp.maximum(dot3(refl, refl), 1e-37))
+    refl = refl / rlen[None]
+    end_pos = pos + vel * dt
+    ce = end_pos - col_point
+    col_to_end = jnp.sqrt(jnp.maximum(dot3(ce, ce), 0.0))
+    speed = jnp.sqrt(speed2)
+    new_vel = refl * (restit * speed)[None] - g * dt
+    new_pos = (
+        col_point
+        - dirn * (backoff * radius)[None]
+        + refl * (col_to_end * restit)[None]
+    )
+    out_vel = jnp.where(hit[None], new_vel, vel)
+    out_pos = jnp.where(hit[None], new_pos, pos)
+    # fused integration
+    out_vel = out_vel + g * dt
+    out_pos = out_pos + out_vel * dt
+
+    pos_out[:] = out_pos
+    vel_out[:] = out_vel
+    hit_out[:] = hit.astype(jnp.int32)
+
+
+def window_collide_sorted(
+    pos_s,  # f32[3, N] sorted by cell
+    vel_s,
+    radius_s,
+    restit_s,
+    rel_start,  # i32[N]
+    count,  # i32[N]
+    win_start,  # i32[NB]
+    k_cap,  # i32[NB]
+    tables: WindowTables,
+    *,
+    w: int,
+    k_static: int,
+    gravity: tuple,
+    dt: float,
+    backoff: float,
+    interpret: bool = False,
+):
+    """Invoke the kernel over all blocks.  Returns (pos', vel', hit) in the
+    sorted order, with integration applied to every particle."""
+    n = pos_s.shape[-1]
+    assert n % BLOCK == 0, n
+    nb = n // BLOCK
+
+    def shape2(x):
+        return x.reshape(nb * SUB, LANE)
+
+    def shape3(x):
+        return x.reshape(3, nb * SUB, LANE)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((3, SUB, LANE), lambda b, *_: (0, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, SUB, LANE), lambda b, *_: (0, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, LANE), lambda b, *_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, LANE), lambda b, *_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, LANE), lambda b, *_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, LANE), lambda b, *_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # pairs table stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((3, SUB, LANE), lambda b, *_: (0, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, SUB, LANE), lambda b, *_: (0, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, LANE), lambda b, *_: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((9, SUB, w), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kern = functools.partial(
+        _kernel, w=w, k_static=k_static, gravity=gravity, dt=dt,
+        backoff=backoff,
+    )
+    pos_o, vel_o, hit_o = pl.pallas_call(
+        kern,
+        out_shape=[
+            jax.ShapeDtypeStruct((3, nb * SUB, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((3, nb * SUB, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((nb * SUB, LANE), jnp.int32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(
+        win_start,
+        k_cap,
+        shape3(pos_s),
+        shape3(vel_s),
+        shape2(radius_s),
+        shape2(restit_s),
+        shape2(rel_start),
+        shape2(count),
+        tables.pairs_rep,
+    )
+    return (
+        pos_o.reshape(3, n),
+        vel_o.reshape(3, n),
+        hit_o.reshape(n),
+    )

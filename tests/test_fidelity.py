@@ -74,8 +74,8 @@ def test_episode_bitwise_deterministic():
     scene = sample_scene(width=128, height=128)
     step = make_method_step(scene, "hybrid")
     runner = make_episode_runner(step, 500)
-    a = runner(spawn_grid(scene.config, layers_y=1))
-    b = runner(spawn_grid(scene.config, layers_y=1))
+    a = runner(spawn_grid(scene.config, layers_y=1, pad_multiple=128))
+    b = runner(spawn_grid(scene.config, layers_y=1, pad_multiple=128))
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 

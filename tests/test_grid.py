@@ -70,7 +70,7 @@ def test_grid_step_equals_bruteforce_step():
     semantics."""
     scene = sample_scene()
     cfg = scene.config
-    state = spawn_grid(cfg, layers_y=1)
+    state = spawn_grid(cfg, layers_y=1, pad_multiple=128)
     mask = np.asarray(active_mask(state))
 
     bf = make_spatial_step_bruteforce(scene.triangles, cfg)
@@ -110,7 +110,7 @@ def test_grid_long_run_statistics_match_bruteforce():
     per-particle trajectories diverge; the ensemble must not)."""
     scene = sample_scene()
     cfg = scene.config
-    state = spawn_grid(cfg, layers_y=1)
+    state = spawn_grid(cfg, layers_y=1, pad_multiple=128)
     mask = np.asarray(active_mask(state))
 
     bf = make_spatial_step_bruteforce(scene.triangles, cfg)

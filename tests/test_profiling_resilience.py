@@ -39,7 +39,7 @@ def test_stopwatch_and_timeseries():
 def test_device_timer_and_phases():
     scene = sample_scene()
     step = make_spatial_step_bruteforce(scene.triangles, scene.config)
-    state = spawn_grid(scene.config, layers_y=1)
+    state = spawn_grid(scene.config, layers_y=1, pad_multiple=128)
     t = DeviceTimer(step, state, reps=3, warmup=1)
     assert t.compile_s > 0 and t.mean_ms > 0
 
@@ -60,7 +60,7 @@ def test_resilient_runner_recovers_from_injected_failures():
     must recover from its snapshot and finish with correct physics."""
     scene = sample_scene()
     cfg = scene.config
-    state = spawn_grid(cfg, layers_y=1)
+    state = spawn_grid(cfg, layers_y=1, pad_multiple=128)
 
     real_step = make_spatial_step_bruteforce(scene.triangles, cfg)
     calls = {"n": 0, "made": 0}

@@ -122,7 +122,7 @@ def test_methods_behavioral_comparison():
     closely (its fallback covers the blind spots)."""
     scene = sample_scene(width=256, height=256)
     cfg = scene.config
-    state = spawn_grid(cfg, layers_y=1)
+    state = spawn_grid(cfg, layers_y=1, pad_multiple=128)
     mask = np.asarray(active_mask(state))
 
     results = {}

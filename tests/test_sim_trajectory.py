@@ -94,7 +94,7 @@ def test_sample_scene_no_tunneling_and_settles():
 
     scene = sample_scene()
     cfg = scene.config
-    state = spawn_grid(cfg, layers_y=1)
+    state = spawn_grid(cfg, layers_y=1, pad_multiple=128)
     mask = np.asarray(active_mask(state))
 
     step = make_spatial_step_bruteforce(scene.triangles, cfg)
