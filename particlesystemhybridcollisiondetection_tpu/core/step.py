@@ -481,16 +481,16 @@ def make_hybrid_step_sorted(
         ids = jnp.arange(n, dtype=jnp.int32)
         cid_s, perm = jax.lax.sort((cid, ids), num_keys=1)
         rows = jnp.concatenate(
-            [pos.T, vel.T, state.radius[:, None], state.restitution[:, None],
-             undecided[:, None].astype(jnp.float32)],
-            axis=1,
-        )
-        rows_s = rows[perm]
-        pos_s = rows_s[:, 0:3].T
-        vel_s = rows_s[:, 3:6].T
-        radius_s = rows_s[:, 6]
-        restit_s = rows_s[:, 7]
-        active_s = rows_s[:, 8] > 0.5
+            [pos, vel, state.radius[None], state.restitution[None],
+             undecided[None].astype(jnp.float32)],
+            axis=0,
+        )  # [9, N]
+        rows_s = rows[:, perm]
+        pos_s = rows_s[0:3]
+        vel_s = rows_s[3:6]
+        radius_s = rows_s[6]
+        restit_s = rows_s[7]
+        active_s = rows_s[8] > 0.5
 
         info = tables.cells[cid_s]
         start = info[:, 0]
@@ -536,13 +536,13 @@ def make_hybrid_step_sorted(
         hit_k = hit_k.at[pick].set(jnp.where(redo, mini.collisions, hit_k[pick]))
 
         out_rows = jnp.concatenate(
-            [pos_k.T, vel_k.T, hit_k[:, None].astype(jnp.float32)], axis=1
-        )
-        unsorted = jnp.zeros_like(out_rows).at[perm].set(out_rows)
+            [pos_k, vel_k, hit_k[None].astype(jnp.float32)], axis=0
+        )  # [7, N]
+        unsorted = jnp.zeros_like(out_rows).at[:, perm].set(out_rows)
         return state._replace(
-            pos=unsorted[:, 0:3].T,
-            vel=unsorted[:, 3:6].T,
-            collisions=state.collisions + unsorted[:, 6].astype(jnp.int32),
+            pos=unsorted[0:3],
+            vel=unsorted[3:6],
+            collisions=state.collisions + unsorted[6].astype(jnp.int32),
         )
 
     def step(state: ParticleState) -> ParticleState:
@@ -636,15 +636,16 @@ def make_spatial_step_sorted(
         ids = jnp.arange(n, dtype=jnp.int32)
         cid_s, perm = jax.lax.sort((cid, ids), num_keys=1)
 
+        # [8, N] layout: axis-1 gather avoids the 16x (8,128)-tile padding
+        # a trailing-8 row matrix would incur
         rows = jnp.concatenate(
-            [pos.T, vel.T, state.radius[:, None], state.restitution[:, None]],
-            axis=1,
-        )  # [N, 8]
-        rows_s = rows[perm]
-        pos_s = rows_s[:, 0:3].T
-        vel_s = rows_s[:, 3:6].T
-        radius_s = rows_s[:, 6]
-        restit_s = rows_s[:, 7]
+            [pos, vel, state.radius[None], state.restitution[None]], axis=0
+        )  # [8, N]
+        rows_s = rows[:, perm]
+        pos_s = rows_s[0:3]
+        vel_s = rows_s[3:6]
+        radius_s = rows_s[6]
+        restit_s = rows_s[7]
 
         info = tables.cells[cid_s]  # [N, 2]
         start = info[:, 0]
@@ -699,13 +700,13 @@ def make_spatial_step_sorted(
 
         # --- unsort back to the caller's particle order ---
         out_rows = jnp.concatenate(
-            [pos_k.T, vel_k.T, hit_k[:, None].astype(jnp.float32)], axis=1
-        )  # [N, 7]
-        unsorted = jnp.zeros_like(out_rows).at[perm].set(out_rows)
+            [pos_k, vel_k, hit_k[None].astype(jnp.float32)], axis=0
+        )  # [7, N]
+        unsorted = jnp.zeros_like(out_rows).at[:, perm].set(out_rows)
         return state._replace(
-            pos=unsorted[:, 0:3].T,
-            vel=unsorted[:, 3:6].T,
-            collisions=state.collisions + unsorted[:, 6].astype(jnp.int32),
+            pos=unsorted[0:3],
+            vel=unsorted[3:6],
+            collisions=state.collisions + unsorted[6].astype(jnp.int32),
         )
 
     def step(state: ParticleState) -> ParticleState:
