@@ -34,7 +34,7 @@ def main() -> None:
         scene,
         "spatial",
         layers_y=64,
-        num_steps=301,
+        num_steps=151,
         chunk=50,
         warmup_steps=1,
     )

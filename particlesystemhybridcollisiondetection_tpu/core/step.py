@@ -746,7 +746,13 @@ def sorted_step_overflow_count(triangles, cfg: SimConfig, state, window: int = 5
 
 
 def make_episode_runner(step: StepFn, num_steps: int) -> Callable[[ParticleState], ParticleState]:
-    """Roll an episode fully on device: ``lax.fori_loop`` over the step."""
+    """Roll an episode fully on device: ``lax.fori_loop`` over the step.
+
+    NOTE: convenient for small states/tests, but on TPU the fori-wrapped
+    Pallas step was measured 4.7x slower than dispatching the jitted step
+    from Python (XLA compiles the loop body more conservatively); the
+    benchmark harness dispatches from Python for that reason.
+    """
 
     @jax.jit
     def run(state: ParticleState) -> ParticleState:
