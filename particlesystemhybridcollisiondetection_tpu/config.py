@@ -98,8 +98,10 @@ class SimConfig:
 
 # --- Scene presets (Assets/Scenes/*.unity constants) -----------------------
 
-#: DragonScene.unity:1818-1823 — the shipped benchmark scene.
-DRAGON_PRESET = SimConfig()
+#: DragonScene.unity:1818-1823 — the shipped benchmark scene.  The dragon
+#: collider is much denser than the bunny, so its broad-phase grid uses
+#: finer cells and the tight expansion radius (r=2 + ~1.01 max travel).
+DRAGON_PRESET = SimConfig(grid=GridConfig(cell_size=4.0, expand=3.2))
 
 #: BunnyScene parity (same benchmark constants, bunny collider).
 BUNNY_PRESET = SimConfig()

@@ -431,7 +431,7 @@ def make_hybrid_step_sorted(
     cfg: SimConfig,
     camera,
     *,
-    window: int = 512,
+    window: int | None = None,
     fallback_capacity: int = 8192,
     interpret: bool = False,
 ) -> StepFn:
@@ -461,6 +461,7 @@ def make_hybrid_step_sorted(
 
     tex = bake_camera(triangles, camera)
     grid, meta = build_triangle_grid(triangles, cfg.grid)
+    window = _auto_window(window, meta)
     tables = build_window_tables(grid, meta, window)
     group = 8
     packed, num_groups = pack_grid(grid, meta, group=group)
@@ -582,11 +583,30 @@ def make_method_step(
     return make_hybrid_step(scene.triangles, cfg, camera)
 
 
+def _auto_window(window, meta) -> int:
+    """Pick the block-window size: cover the densest cell (rounded to a
+    lane multiple), capped at 1024 rows of VMEM scratch.  Cells denser
+    than the cap rely on the exact compacted fallback every step."""
+    if window is not None:
+        return window
+    want = ((meta.max_tris_per_cell + 127) // 128) * 128
+    w = max(256, min(1024, want))
+    if meta.max_tris_per_cell > w:
+        import warnings
+
+        warnings.warn(
+            f"grid cells hold up to {meta.max_tris_per_cell} candidates, "
+            f"above the {w}-row block window; particles in those cells are "
+            "handled by the exact fallback (capacity-bounded)"
+        )
+    return w
+
+
 def make_spatial_step_sorted(
     triangles,
     cfg: SimConfig,
     *,
-    window: int = 512,
+    window: int | None = None,
     fallback_capacity: int = 8192,
     interpret: bool = False,
 ) -> StepFn:
@@ -613,6 +633,7 @@ def make_spatial_step_sorted(
     )
 
     grid, meta = build_triangle_grid(triangles, cfg.grid)
+    window = _auto_window(window, meta)
     tables = build_window_tables(grid, meta, window)
     group = 8
     packed, num_groups = pack_grid(grid, meta, group=group)

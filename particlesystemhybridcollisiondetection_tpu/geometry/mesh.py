@@ -159,6 +159,41 @@ def uv_sphere(radius: float = 0.5, rings: int = 16, sectors: int = 24) -> Triang
     return TriangleMesh(verts, np.asarray(faces, dtype=np.int64), "sphere")
 
 
+def cube_sphere(n: int = 64, radius: float = 1.0) -> TriangleMesh:
+    """Quad-sphere: 6 cube faces of n x n quads projected to the sphere.
+
+    Near-uniform triangle density (a uv-sphere crams hundreds of tiny
+    triangles into the pole cells, which poisons uniform-grid broad
+    phases).
+    """
+    verts = []
+    faces = []
+    axes = [
+        (0, 1, 2, +1.0), (0, 1, 2, -1.0),
+        (1, 2, 0, +1.0), (1, 2, 0, -1.0),
+        (2, 0, 1, +1.0), (2, 0, 1, -1.0),
+    ]
+    offset = 0
+    for (a, b, c, s) in axes:
+        lin = np.linspace(-1.0, 1.0, n + 1)
+        uu, vv = np.meshgrid(lin, lin, indexing="ij")
+        p = np.zeros(uu.shape + (3,))
+        p[..., a] = uu
+        p[..., b] = vv
+        p[..., c] = s
+        p = p / np.linalg.norm(p, axis=-1, keepdims=True)
+        verts.append(p.reshape(-1, 3) * radius)
+        for i in range(n):
+            for j in range(n):
+                q = offset + i * (n + 1) + j
+                faces.append([q, q + 1, q + n + 1])
+                faces.append([q + 1, q + n + 2, q + n + 1])
+        offset += (n + 1) * (n + 1)
+    return TriangleMesh(
+        np.concatenate(verts), np.asarray(faces, dtype=np.int64), "cube_sphere"
+    )
+
+
 def torus_knot(
     p: int = 2,
     q: int = 3,

@@ -76,20 +76,33 @@ def _bunny_mesh() -> TriangleMesh:
 
 def _dragon_standin(tri_budget: int = 400_000) -> TriangleMesh:
     """Procedural stand-in for dragon.fbx (binary blob stripped from the
-    reference mirror -- /root/reference/.MISSING_LARGE_BLOBS).  A high-poly
-    torus knot scaled to the dragon's world footprint (scale 2800 at
-    (25, -2, 0), DragonScene.unity prefab modifications) so the benchmark
-    workload is comparable."""
-    tube_segments = 128
-    segments = max(64, tri_budget // (2 * tube_segments))
-    m = torus_knot(segments=segments, tube_segments=tube_segments)
-    # Fit to a dragon-ish footprint: ~500 wide, ~400 tall, sitting on y=0.
-    v = m.vertices
+    reference mirror -- /root/reference/.MISSING_LARGE_BLOBS): a ridged,
+    displaced cube-sphere scaled to the dragon's world footprint (scale
+    2800 at (25, -2, 0), DragonScene.unity prefab modifications) so the
+    triangle count and density are comparable.
+
+    A single closed surface is used deliberately: self-overlapping shapes
+    (e.g. torus knots) stack several surface layers into individual broad-
+    phase cells and blow up the per-cell candidate bound.
+    """
+    from particlesystemhybridcollisiondetection_tpu.geometry.mesh import cube_sphere
+
+    n = max(16, int(np.sqrt(tri_budget / 12.0)))
+    m = cube_sphere(n)
+    v = m.vertices.copy()
+    d = v / np.linalg.norm(v, axis=1, keepdims=True)
+    # low-frequency ridged displacement ("dragon back" lumps)
+    disp = (
+        0.18 * np.sin(1.7 * d[:, 0:1] * np.pi + 1.0) * np.sin(1.3 * d[:, 2:3] * np.pi)
+        + 0.10 * np.sin(2.9 * d[:, 1:2] * np.pi) * np.cos(2.1 * d[:, 0:1] * np.pi)
+        + 0.05 * np.cos(4.1 * d[:, 2:3] * np.pi + 0.5) * np.sin(3.3 * d[:, 1:2] * np.pi)
+    )
+    v = v * (1.0 + disp)
+    v[:, 0] *= 1.6  # elongate like a crouched dragon
+    v[:, 2] *= 0.9
     vmin, vmax = v.min(0), v.max(0)
-    center = (vmin + vmax) / 2
-    extent = vmax - vmin
     target = np.array([500.0, 400.0, 320.0])
-    v = (v - center) / extent * target
+    v = (v - (vmin + vmax) / 2) / (vmax - vmin) * target
     v[:, 1] -= v[:, 1].min()  # rest on ground
     return TriangleMesh(v, m.faces, "dragon_standin")
 
