@@ -34,7 +34,6 @@ from particlesystemhybridcollisiondetection_tpu.core.state import (
     spawn_grid,
 )
 from particlesystemhybridcollisiondetection_tpu.core.step import (
-    make_episode_runner,
     make_method_step,
 )
 

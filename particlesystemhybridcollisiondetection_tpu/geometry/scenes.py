@@ -11,7 +11,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import os
-from typing import Callable, Sequence
+from typing import Callable
 
 import numpy as np
 
@@ -25,7 +25,6 @@ from particlesystemhybridcollisiondetection_tpu.geometry.mesh import (
     TriangleMesh,
     flatten_scene,
     load_fbx,
-    torus_knot,
     unity_cube,
     unity_plane,
 )

@@ -26,16 +26,12 @@ halo exchange of boundary-cell particle data via ppermute each step.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from particlesystemhybridcollisiondetection_tpu.config import FLOAT_SENTINEL, SimConfig
-from particlesystemhybridcollisiondetection_tpu.core import vec
 from particlesystemhybridcollisiondetection_tpu.core.state import ParticleState
 from particlesystemhybridcollisiondetection_tpu.ops import p2p as p2p_ops
 from particlesystemhybridcollisiondetection_tpu.ops import pgrid as pg
