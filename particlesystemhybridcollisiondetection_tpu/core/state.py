@@ -58,6 +58,7 @@ def spawn_grid(
     pad_multiple: int = PARTICLE_PAD,
     radius: Optional[np.ndarray] = None,
     restitution: Optional[np.ndarray] = None,
+    cap: Optional[int] = REFERENCE_PARTICLE_CAP,
     dtype=jnp.float32,
 ) -> ParticleState:
     """Spawn the reference's particle block.
@@ -79,7 +80,12 @@ def spawn_grid(
     offset = cfg.offset_xz
     origin = np.asarray(cfg.spawn_origin, dtype=np.float64)
 
-    n_logical = min(d * d * layers_y, REFERENCE_PARTICLE_CAP)
+    # The reference caps at 65535 thread groups * 32 (ParticleSys.cs:236);
+    # kept as the parity default, pass cap=None to scale past it (the TPU
+    # build has no dispatch limit).
+    n_logical = d * d * layers_y
+    if cap is not None:
+        n_logical = min(n_logical, cap)
 
     # starPos = ((d-1)/2, 0, (d-1)/2) * offset + origin  (ParticleSys.cs:227-229)
     xz_start = (d - 1) / 2.0
