@@ -539,7 +539,12 @@ def make_hybrid_step_sorted(
         out_rows = jnp.concatenate(
             [pos_k, vel_k, hit_k[None].astype(jnp.float32)], axis=0
         )  # [7, N]
-        unsorted = jnp.zeros_like(out_rows).at[:, perm].set(out_rows)
+        # unsort via inverse-permutation GATHER: scatter was measured 43 ms
+        # at 1M (2/3 of the step); a second sort + gather is ~7 ms
+        _, inv_perm = jax.lax.sort(
+            (perm, jnp.arange(n, dtype=jnp.int32)), num_keys=1
+        )
+        unsorted = out_rows[:, inv_perm]
         return state._replace(
             pos=unsorted[0:3],
             vel=unsorted[3:6],
@@ -723,7 +728,12 @@ def make_spatial_step_sorted(
         out_rows = jnp.concatenate(
             [pos_k, vel_k, hit_k[None].astype(jnp.float32)], axis=0
         )  # [7, N]
-        unsorted = jnp.zeros_like(out_rows).at[:, perm].set(out_rows)
+        # unsort via inverse-permutation GATHER: scatter was measured 43 ms
+        # at 1M (2/3 of the step); a second sort + gather is ~7 ms
+        _, inv_perm = jax.lax.sort(
+            (perm, jnp.arange(n, dtype=jnp.int32)), num_keys=1
+        )
+        unsorted = out_rows[:, inv_perm]
         return state._replace(
             pos=unsorted[0:3],
             vel=unsorted[3:6],
