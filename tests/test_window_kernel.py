@@ -131,3 +131,27 @@ def test_lane_gather_helper():
     got = np.asarray(_lane_gather(tab, idx))
     want = np.asarray(tab)[0][np.asarray(idx)]
     np.testing.assert_array_equal(got, want)
+
+
+def test_persistent_episode_runner_matches_per_step():
+    from particlesystemhybridcollisiondetection_tpu.core.step import (
+        make_sorted_episode_runner,
+    )
+
+    scene = sample_scene()
+    cfg = scene.config
+    state = spawn_grid(cfg, layers_y=1)
+    mask = np.asarray(active_mask(state))
+    step = make_spatial_step_sorted(scene.triangles, cfg, interpret=True)
+    runner = make_sorted_episode_runner(scene.triangles, cfg, interpret=True)
+    s = state
+    for _ in range(1150):  # through first impacts
+        s = step(s)
+    r = runner(state, 1150)
+    np.testing.assert_array_equal(
+        np.asarray(r.collisions)[mask], np.asarray(s.collisions)[mask]
+    )
+    np.testing.assert_allclose(
+        np.asarray(r.pos)[:, mask], np.asarray(s.pos)[:, mask], rtol=1e-6, atol=1e-7
+    )
+    assert int(np.asarray(s.collisions)[mask].sum()) > 0
