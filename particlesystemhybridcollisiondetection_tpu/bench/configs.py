@@ -114,14 +114,18 @@ def config_2(steps: int = 500, n: int = 50_000) -> dict:
     box_lo, box_hi = (0.0, 0.0, 0.0), (side, side, side)
     cfg = SimConfig(particle_radius=0.4, dt=0.005, bounciness=0.3)
     state = _box_state(n, box_lo, box_hi, 0.4, 0.3)
-    step = make_p2p_step(box_lo, box_hi, cfg, capacity=8, variant="auto")
-    out, sps, _ = _time_steps(step, state, steps)
+    step = make_p2p_step(
+        box_lo, box_hi, cfg, capacity=8, variant="auto", with_stats=True
+    )
+    out, sps, _ = _time_steps(lambda s: step(s)[0], state, steps)
+    _, stats = step(out)
     return {
         "config": 2,
         "particles": n,
         "steps_per_sec": sps,
         "particle_steps_per_sec": sps * n,
         "contacts": int(np.asarray(out.collisions).sum()),
+        "cell_overflow_last_step": int(stats["cell_overflow"]),
     }
 
 
@@ -147,14 +151,18 @@ def config_4(steps: int = 200, n: int = 1_000_000) -> dict:
     box_lo, box_hi = (0.0, 0.0, 0.0), (side, side / 2, side)
     cfg = SimConfig(particle_radius=0.4, dt=0.005, bounciness=0.3)
     state = _box_state(n, box_lo, box_hi, 0.4, 0.3)
-    step = make_p2p_step(box_lo, box_hi, cfg, capacity=8, variant="auto")
-    out, sps, _ = _time_steps(step, state, steps, chunk=20)
+    step = make_p2p_step(
+        box_lo, box_hi, cfg, capacity=8, variant="auto", with_stats=True
+    )
+    out, sps, _ = _time_steps(lambda s: step(s)[0], state, steps, chunk=20)
+    _, stats = step(out)
     return {
         "config": 4,
         "particles": n,
         "steps_per_sec": sps,
         "particle_steps_per_sec": sps * n,
         "contacts": int(np.asarray(out.collisions).sum()),
+        "cell_overflow_last_step": int(stats["cell_overflow"]),
     }
 
 
@@ -191,14 +199,15 @@ def config_5(steps: int = 100, n: Optional[int] = None, n_shards: Optional[int] 
         st, stats = step(st)
     jax.block_until_ready(st.pos)
     dt = time.perf_counter() - t0
-    overflow = int(stats[0]) + int(stats[1])
     return {
         "config": 5,
         "particles": n,
         "shards": shards,
         "steps_per_sec": steps / dt,
         "particle_steps_per_sec": steps / dt * n,
-        "overflow_last_step": overflow,
+        "halo_overflow_last_step": int(stats[0]),
+        "migrate_overflow_last_step": int(stats[1]),
+        "cell_overflow_last_step": int(stats[2]),
     }
 
 

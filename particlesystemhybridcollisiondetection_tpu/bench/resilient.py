@@ -95,7 +95,11 @@ class ResilientRunner:
                 retries = 0
                 if self.checkpoint_path:
                     np.savez(self.checkpoint_path, _step=done, **snap)
-            except Exception as e:  # noqa: BLE001 -- device loss surfaces variously
+            except (jax.errors.JaxRuntimeError, OSError, TimeoutError) as e:
+                # device loss surfaces as XlaRuntimeError (a
+                # JaxRuntimeError subclass) or transport-level OS errors;
+                # anything else (shape bugs, NaN asserts, typos) is a real
+                # bug and must propagate, not be retried as "device loss"
                 retries += 1
                 self.recoveries += 1
                 if retries > self.max_retries:

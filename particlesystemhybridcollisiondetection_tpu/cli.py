@@ -175,7 +175,12 @@ def cmd_p2pbox(args) -> int:
         restitution=jnp.full((n,), args.restitution, dtype=jnp.float32),
     )
     cfg = SimConfig(particle_radius=r, dt=args.dt, bounciness=args.restitution)
-    step = make_p2p_step(box_lo, box_hi, cfg, capacity=args.capacity)
+    # --hetero spawns radii up to 1.3*r; the stencil needs
+    # cell_size >= 2 * max radius (ADVICE r1)
+    step = make_p2p_step(
+        box_lo, box_hi, cfg, capacity=args.capacity,
+        max_radius=float(np.asarray(state.radius).max()),
+    )
     import time
 
     state = step(state)

@@ -385,6 +385,8 @@ def make_p2p_step(
     cell_size: Optional[float] = None,
     capacity: int = 8,
     variant: str = "auto",
+    with_stats: bool = False,
+    max_radius: Optional[float] = None,
 ) -> StepFn:
     """Gravity-box step with particle-particle collisions + container walls
     (driver benchmark configs 1/2/4/5; capability extension over the
@@ -398,6 +400,12 @@ def make_p2p_step(
     dense table's trailing [M, F] dims trigger TPU (8,128) tile padding
     -- a 16x memory blowup observed as an OOM at 1M particles -- until
     it is relaid out planar like the spatial window kernel).
+
+    ``with_stats``: return ``(state, {"cell_overflow": i32})`` so
+    saturated-cell drops (one-sided impulses) are observable (ADVICE r1).
+    ``max_radius``: largest particle radius in the state; the 27-cell
+    stencil misses contacts when cell_size < 2 * max_radius, so this is
+    asserted at build time (heterogeneous-radii runs must pass it).
     """
     if variant == "auto":
         variant = "slots"
@@ -410,20 +418,136 @@ def make_p2p_step(
 
     h = cell_size
     gravity = jnp.asarray(cfg.gravity, dtype=jnp.float32)
+    r_max = cfg.particle_radius if max_radius is None else float(max_radius)
     if h is None:
-        h = 2.0 * cfg.particle_radius
+        h = 2.0 * r_max
+    assert h >= 2.0 * r_max - 1e-6, (
+        f"cell_size {h} < 2 * max radius {r_max}: the 27-cell stencil "
+        "would miss contacts between large particles in non-adjacent cells"
+    )
     meta = pg.make_meta(box_lo, box_hi, h, capacity=capacity)
     collide = p2p_collide_dense if variant == "dense" else p2p_ops.p2p_collide
 
     @jax.jit
-    def step(state: ParticleState) -> ParticleState:
+    def _step(state: ParticleState):
         act = active_mask(state)
-        state, _overflow = collide(state, meta, active=act)
+        state, overflow = collide(state, meta, active=act)
         state = p2p_ops.box_walls_collide(state, box_lo, box_hi, gravity, cfg.dt)
         new_pos, new_vel = integrate(state.pos, state.vel, gravity, cfg.dt)
-        return state._replace(pos=new_pos, vel=new_vel)
+        out = state._replace(pos=new_pos, vel=new_vel)
+        return out, {"cell_overflow": overflow}
+
+    if with_stats:
+        def step(state: ParticleState):
+            return _step(state)
+    else:
+        def step(state: ParticleState) -> ParticleState:
+            return _step(state)[0]
 
     return step
+
+
+def _window_plan(cid_s, tables, window: int, nb: int, active_s=None):
+    """Per-block window geometry for the sorted kernel.
+
+    Returns (rel, count, ws, k_cap, overflow): each particle's CSR range
+    relative to its block's window start, plus the bool[N] mask of
+    particles whose candidate rows do not fit the window (handled exactly
+    by the chunked fallback).
+    """
+    from particlesystemhybridcollisiondetection_tpu.ops.pallas.window_kernel import (
+        BLOCK,
+    )
+
+    n = cid_s.shape[0]
+    info = tables.cells[cid_s]  # [N, 2]
+    start = info[:, 0]
+    count = info[:, 1]
+    if active_s is not None:
+        count = jnp.where(active_s, count, 0)  # decided -> no candidates
+    sb = jnp.where(count > 0, start, jnp.int32(1 << 30)).reshape(nb, BLOCK)
+    cb = count.reshape(nb, BLOCK)
+    big = jnp.int32(1 << 30)
+    ws = jnp.min(jnp.where(cb > 0, sb, big), axis=1)
+    ws = jnp.where(ws == big, 0, ws)
+    ws = (ws // 128) * 128  # HBM DMA slices must be lane-aligned
+    k_cap = jnp.max(cb, axis=1)
+    rel = start - jnp.broadcast_to(ws[:, None], (nb, BLOCK)).reshape(n)
+    rel = jnp.where(count > 0, rel, 0)
+    overflow = (count > 0) & ((rel < 0) | (rel + count > window))
+    rel = jnp.clip(rel, 0, window - 1)
+    return rel, count, ws, k_cap, overflow
+
+
+def _chunked_fallback(
+    kernel_out,
+    sorted_state,
+    overflow,
+    packed,
+    meta,
+    num_groups: int,
+    group: int,
+    gravity,
+    cfg: SimConfig,
+    m_cap: int,
+    active_s=None,
+):
+    """Exact redo for window-overflow particles, in m_cap-sized chunks.
+
+    A ``lax.while_loop`` walks the compacted overflow list until every
+    overflow particle has been recomputed by the packed XLA narrow phase,
+    so results are exact for ANY overflow count (round 1 truncated at one
+    fixed-capacity pass, silently keeping clipped-window results beyond
+    it).  When nothing overflows the loop body never runs -- the common
+    case costs one argsort and no narrow-phase work.
+
+    kernel_out: (pos_k [3,N], vel_k [3,N], hit_k i32[N]) from the window
+    kernel.  sorted_state: (pos_s, vel_s, radius_s, restit_s) in sorted
+    order.  Returns (pos_k, vel_k, hit_k, n_over).
+    """
+    pos_k, vel_k, hit_k = kernel_out
+    pos_s, vel_s, radius_s, restit_s = sorted_state
+    n = pos_s.shape[-1]
+    m_eff = min(m_cap, n)
+    n_over = jnp.sum(overflow.astype(jnp.int32))
+    ord2 = jnp.argsort(jnp.logical_not(overflow), stable=True)
+
+    def chunk_cond(carry):
+        c, _, _, _ = carry
+        return c * m_eff < n_over
+
+    def chunk_body(carry):
+        c, pos_k, vel_k, hit_k = carry
+        pick = jax.lax.dynamic_slice(ord2, (c * m_eff,), (m_eff,))
+        mini = ParticleState(
+            pos=pos_s[:, pick],
+            vel=vel_s[:, pick],
+            collisions=jnp.zeros((m_eff,), dtype=jnp.int32),
+            radius=radius_s[pick],
+            restitution=restit_s[pick],
+        )
+        mini = spatial_collide_packed(
+            mini, packed, meta, num_groups, group, gravity, cfg.dt,
+            cfg.backoff,
+            active=None if active_s is None else active_s[pick],
+        )
+        fb_pos, fb_vel = integrate(mini.pos, mini.vel, gravity, cfg.dt)
+        redo = overflow[pick]  # only true-overflow lanes get written
+        pos_k = pos_k.at[:, pick].set(
+            jnp.where(redo[None], fb_pos, pos_k[:, pick])
+        )
+        vel_k = vel_k.at[:, pick].set(
+            jnp.where(redo[None], fb_vel, vel_k[:, pick])
+        )
+        hit_k = hit_k.at[pick].set(
+            jnp.where(redo, mini.collisions, hit_k[pick])
+        )
+        return c + 1, pos_k, vel_k, hit_k
+
+    _, pos_k, vel_k, hit_k = jax.lax.while_loop(
+        chunk_cond, chunk_body, (jnp.int32(0), pos_k, vel_k, hit_k)
+    )
+    return pos_k, vel_k, hit_k, n_over
 
 
 def make_hybrid_step_sorted(
@@ -434,6 +558,7 @@ def make_hybrid_step_sorted(
     window: int | None = None,
     fallback_capacity: int = 8192,
     interpret: bool = False,
+    with_stats: bool = False,
 ) -> StepFn:
     """Hybrid method with the sorted block-window Pallas kernel as the
     exact fallback stage.
@@ -469,7 +594,7 @@ def make_hybrid_step_sorted(
     m_cap = fallback_capacity
 
     @jax.jit
-    def _step(state: ParticleState, tex, tables, packed) -> ParticleState:
+    def _step(state: ParticleState, tex, tables, packed):
         state, undecided = screen_space_collide(
             state, tex, gravity, cfg.dt, hybrid=True
         )
@@ -493,21 +618,9 @@ def make_hybrid_step_sorted(
         restit_s = rows_s[7]
         active_s = rows_s[8] > 0.5
 
-        info = tables.cells[cid_s]
-        start = info[:, 0]
-        count = jnp.where(active_s, info[:, 1], 0)  # decided -> no candidates
-
-        sb = jnp.where(active_s, start, jnp.int32(1 << 30)).reshape(nb, BLOCK)
-        cb = count.reshape(nb, BLOCK)
-        big = jnp.int32(1 << 30)
-        ws = jnp.min(jnp.where(cb > 0, sb, big), axis=1)
-        ws = jnp.where(ws == big, 0, ws)
-        ws = (ws // 128) * 128
-        k_cap = jnp.max(cb, axis=1)
-        rel = start - jnp.broadcast_to(ws[:, None], (nb, BLOCK)).reshape(n)
-        rel = jnp.where(count > 0, rel, 0)
-        overflow = (count > 0) & ((rel < 0) | (rel + count > window))
-        rel = jnp.clip(rel, 0, window - 1)
+        rel, count, ws, k_cap, overflow = _window_plan(
+            cid_s, tables, window, nb, active_s=active_s
+        )
 
         pos_k, vel_k, hit_k = window_collide_sorted(
             pos_s, vel_s, radius_s, restit_s, rel, count, ws, k_cap, tables,
@@ -516,25 +629,12 @@ def make_hybrid_step_sorted(
             interpret=interpret,
         )
 
-        m_eff = min(m_cap, n)
-        ord2 = jnp.argsort(jnp.logical_not(overflow), stable=True)
-        pick = ord2[:m_eff]
-        mini = ParticleState(
-            pos=pos_s[:, pick],
-            vel=vel_s[:, pick],
-            collisions=jnp.zeros((m_eff,), dtype=jnp.int32),
-            radius=radius_s[pick],
-            restitution=restit_s[pick],
+        pos_k, vel_k, hit_k, n_over = _chunked_fallback(
+            (pos_k, vel_k, hit_k),
+            (pos_s, vel_s, radius_s, restit_s),
+            overflow, packed, meta, num_groups, group, gravity, cfg, m_cap,
+            active_s=active_s,
         )
-        mini = spatial_collide_packed(
-            mini, packed, meta, num_groups, group, gravity, cfg.dt,
-            cfg.backoff, active=active_s[pick],
-        )
-        fb_pos, fb_vel = integrate(mini.pos, mini.vel, gravity, cfg.dt)
-        redo = overflow[pick]
-        pos_k = pos_k.at[:, pick].set(jnp.where(redo[None], fb_pos, pos_k[:, pick]))
-        vel_k = vel_k.at[:, pick].set(jnp.where(redo[None], fb_vel, vel_k[:, pick]))
-        hit_k = hit_k.at[pick].set(jnp.where(redo, mini.collisions, hit_k[pick]))
 
         out_rows = jnp.concatenate(
             [pos_k, vel_k, hit_k[None].astype(jnp.float32)], axis=0
@@ -545,14 +645,19 @@ def make_hybrid_step_sorted(
             (perm, jnp.arange(n, dtype=jnp.int32)), num_keys=1
         )
         unsorted = out_rows[:, inv_perm]
-        return state._replace(
+        out = state._replace(
             pos=unsorted[0:3],
             vel=unsorted[3:6],
             collisions=state.collisions + unsorted[6].astype(jnp.int32),
         )
+        return out, {"window_overflow": n_over}
 
-    def step(state: ParticleState) -> ParticleState:
-        return _step(state, tex, tables, packed)
+    if with_stats:
+        def step(state: ParticleState):
+            return _step(state, tex, tables, packed)
+    else:
+        def step(state: ParticleState) -> ParticleState:
+            return _step(state, tex, tables, packed)[0]
 
     return step
 
@@ -614,6 +719,7 @@ def make_spatial_step_sorted(
     window: int | None = None,
     fallback_capacity: int = 8192,
     interpret: bool = False,
+    with_stats: bool = False,
 ) -> StepFn:
     """Spatial method via the sorted block-window Pallas kernel (see
     ops/pallas/window_kernel.py) -- the TPU performance path.
@@ -623,8 +729,12 @@ def make_spatial_step_sorted(
     dynamic_gather from a per-block contiguous CSR window), the exact
     narrow phase, the response, and the integrator; particles whose
     candidate rows exceed their block's window (possible only in mixed
-    surface/air blocks) are recomputed exactly by a compacted XLA packed
-    pass; results are scattered back to the original particle order.
+    surface/air blocks) are recomputed exactly by the chunked compacted
+    XLA fallback (exact for any overflow count, see _chunked_fallback);
+    results are gathered back to the original particle order.
+
+    ``with_stats``: return ``(state, {"window_overflow": i32})`` instead
+    of just the state, so callers can observe window pressure.
     """
     from particlesystemhybridcollisiondetection_tpu.ops.grid import (
         build_triangle_grid,
@@ -649,7 +759,7 @@ def make_spatial_step_sorted(
     # device arrays are serialized into the compile payload (observed as
     # HTTP 413 on the remote-compile path at ~190 MB)
     @jax.jit
-    def _step(state: ParticleState, tables, packed) -> ParticleState:
+    def _step(state: ParticleState, tables, packed):
         pos, vel = state.pos, state.vel
         n = pos.shape[-1]
         assert n % BLOCK == 0, (
@@ -673,22 +783,9 @@ def make_spatial_step_sorted(
         radius_s = rows_s[6]
         restit_s = rows_s[7]
 
-        info = tables.cells[cid_s]  # [N, 2]
-        start = info[:, 0]
-        count = info[:, 1]
-
-        sb = start.reshape(nb, BLOCK)
-        cb = count.reshape(nb, BLOCK)
-        occupied = cb > 0
-        big = jnp.int32(1 << 30)
-        ws = jnp.min(jnp.where(occupied, sb, big), axis=1)
-        ws = jnp.where(ws == big, 0, ws)
-        ws = (ws // 128) * 128  # HBM DMA slices must be lane-aligned
-        k_cap = jnp.max(cb, axis=1)
-        rel = start - jnp.broadcast_to(ws[:, None], (nb, BLOCK)).reshape(n)
-        rel = jnp.where(count > 0, rel, 0)
-        overflow = (count > 0) & ((rel < 0) | (rel + count > window))
-        rel = jnp.clip(rel, 0, window - 1)
+        rel, count, ws, k_cap, overflow = _window_plan(
+            cid_s, tables, window, nb
+        )
 
         pos_k, vel_k, hit_k = window_collide_sorted(
             pos_s, vel_s, radius_s, restit_s, rel, count, ws, k_cap, tables,
@@ -697,31 +794,10 @@ def make_spatial_step_sorted(
             interpret=interpret,
         )
 
-        # --- exact redo for window-overflow particles (compacted) ---
-        m_eff = min(m_cap, n)
-        ord2 = jnp.argsort(jnp.logical_not(overflow), stable=True)
-        pick = ord2[:m_eff]
-        mini = ParticleState(
-            pos=pos_s[:, pick],
-            vel=vel_s[:, pick],
-            collisions=jnp.zeros((m_eff,), dtype=jnp.int32),
-            radius=radius_s[pick],
-            restitution=restit_s[pick],
-        )
-        mini = spatial_collide_packed(
-            mini, packed, meta, num_groups, group, gravity, cfg.dt, cfg.backoff
-        )
-        fb_pos, fb_vel = integrate(mini.pos, mini.vel, gravity, cfg.dt)
-        redo = overflow[pick]  # [M] which fallback lanes are real
-        # merge: scatter fallback rows over the kernel results
-        pos_k = pos_k.at[:, pick].set(
-            jnp.where(redo[None], fb_pos, pos_k[:, pick])
-        )
-        vel_k = vel_k.at[:, pick].set(
-            jnp.where(redo[None], fb_vel, vel_k[:, pick])
-        )
-        hit_k = hit_k.at[pick].set(
-            jnp.where(redo, mini.collisions, hit_k[pick])
+        pos_k, vel_k, hit_k, n_over = _chunked_fallback(
+            (pos_k, vel_k, hit_k),
+            (pos_s, vel_s, radius_s, restit_s),
+            overflow, packed, meta, num_groups, group, gravity, cfg, m_cap,
         )
 
         # --- unsort back to the caller's particle order ---
@@ -734,14 +810,19 @@ def make_spatial_step_sorted(
             (perm, jnp.arange(n, dtype=jnp.int32)), num_keys=1
         )
         unsorted = out_rows[:, inv_perm]
-        return state._replace(
+        out = state._replace(
             pos=unsorted[0:3],
             vel=unsorted[3:6],
             collisions=state.collisions + unsorted[6].astype(jnp.int32),
         )
+        return out, {"window_overflow": n_over}
 
-    def step(state: ParticleState) -> ParticleState:
-        return _step(state, tables, packed)
+    if with_stats:
+        def step(state: ParticleState):
+            return _step(state, tables, packed)
+    else:
+        def step(state: ParticleState) -> ParticleState:
+            return _step(state, tables, packed)[0]
 
     return step
 
@@ -786,7 +867,7 @@ def make_sorted_episode_runner(
     m_cap = fallback_capacity
 
     # carried rows: pos3 vel3 radius restitution collisions ids  (the two
-    # int rows ride as f32 -- exact up to 2^24, fine for counts and ids)
+    # int rows ride as f32 -- exact up to 2^24; run() asserts n < 2^24)
     @jax.jit
     def _step_rows(rows, tables, packed):
         n = rows.shape[-1]
@@ -801,20 +882,9 @@ def make_sorted_episode_runner(
         radius_s = rows_s[6]
         restit_s = rows_s[7]
 
-        info = tables.cells[cid_s]
-        start = info[:, 0]
-        count = info[:, 1]
-        sb = start.reshape(nb, BLOCK)
-        cb = count.reshape(nb, BLOCK)
-        big = jnp.int32(1 << 30)
-        ws = jnp.min(jnp.where(cb > 0, sb, big), axis=1)
-        ws = jnp.where(ws == big, 0, ws)
-        ws = (ws // 128) * 128
-        k_cap = jnp.max(cb, axis=1)
-        rel = start - jnp.broadcast_to(ws[:, None], (nb, BLOCK)).reshape(n)
-        rel = jnp.where(count > 0, rel, 0)
-        overflow = (count > 0) & ((rel < 0) | (rel + count > window))
-        rel = jnp.clip(rel, 0, window - 1)
+        rel, count, ws, k_cap, overflow = _window_plan(
+            cid_s, tables, window, nb
+        )
 
         pos_k, vel_k, hit_k = window_collide_sorted(
             pos_s, vel_s, radius_s, restit_s, rel, count, ws, k_cap, tables,
@@ -823,27 +893,14 @@ def make_sorted_episode_runner(
             interpret=interpret,
         )
 
-        m_eff = min(m_cap, n)
-        ord2 = jnp.argsort(jnp.logical_not(overflow), stable=True)
-        pick = ord2[:m_eff]
-        mini = ParticleState(
-            pos=pos_s[:, pick],
-            vel=vel_s[:, pick],
-            collisions=jnp.zeros((m_eff,), dtype=jnp.int32),
-            radius=radius_s[pick],
-            restitution=restit_s[pick],
+        pos_k, vel_k, hit_k, n_over = _chunked_fallback(
+            (pos_k, vel_k, hit_k),
+            (pos_s, vel_s, radius_s, restit_s),
+            overflow, packed, meta, num_groups, group, gravity, cfg, m_cap,
         )
-        mini = spatial_collide_packed(
-            mini, packed, meta, num_groups, group, gravity, cfg.dt, cfg.backoff
-        )
-        fb_pos, fb_vel = integrate(mini.pos, mini.vel, gravity, cfg.dt)
-        redo = overflow[pick]
-        pos_k = pos_k.at[:, pick].set(jnp.where(redo[None], fb_pos, pos_k[:, pick]))
-        vel_k = vel_k.at[:, pick].set(jnp.where(redo[None], fb_vel, vel_k[:, pick]))
-        hit_k = hit_k.at[pick].set(jnp.where(redo, mini.collisions, hit_k[pick]))
 
         # output stays in THIS step's sorted order
-        return jnp.concatenate(
+        out = jnp.concatenate(
             [
                 pos_k,
                 vel_k,
@@ -853,6 +910,7 @@ def make_sorted_episode_runner(
             ],
             axis=0,
         )
+        return out, n_over
 
     @jax.jit
     def _restore(rows):
@@ -864,6 +922,10 @@ def make_sorted_episode_runner(
     def run(state: ParticleState, num_steps: int) -> ParticleState:
         n = state.pos.shape[-1]
         assert n % BLOCK == 0, n
+        assert n < 2**24, (
+            f"persistent-order runner carries ids as f32 rows (exact only "
+            f"to 2^24); n={n} would corrupt the order restoration"
+        )
         rows = jnp.concatenate(
             [
                 state.pos,
@@ -876,7 +938,7 @@ def make_sorted_episode_runner(
             axis=0,
         )
         for _ in range(num_steps):
-            rows = _step_rows(rows, tables, packed)
+            rows, _ = _step_rows(rows, tables, packed)
         rows = _restore(rows)
         return state._replace(
             pos=rows[0:3],

@@ -345,7 +345,7 @@ def window_collide_sorted(
             pl.BlockSpec((SUB, LANE), lambda b, *_: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((SUB, LANE), lambda b, *_: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((SUB, LANE), lambda b, *_: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # pairs table stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # pairs table stays in HBM
         ],
         out_specs=[
             pl.BlockSpec((3, SUB, LANE), lambda b, *_: (0, b, 0), memory_space=pltpu.VMEM),

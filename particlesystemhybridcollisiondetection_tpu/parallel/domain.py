@@ -125,8 +125,8 @@ def make_domain_step(dcfg: DomainConfig, cfg: SimConfig, mesh: Mesh):
 
     ``state`` leaves have a leading shard axis folded into the particle
     axis: [3, n_shards * shard_capacity], sharded over AXIS.
-    Returned stats: i32[2] = (halo_overflow, migrate_overflow), summed
-    over devices.
+    Returned stats: i32[3] = (halo_overflow, migrate_overflow,
+    grid_cell_overflow), summed over devices.
     """
     gravity = jnp.asarray(cfg.gravity, dtype=jnp.float32)
     n_sh = dcfg.n_shards
@@ -183,7 +183,7 @@ def make_domain_step(dcfg: DomainConfig, cfg: SimConfig, mesh: Mesh):
             dcfg.cell_size,
             capacity=dcfg.grid_capacity,
         )
-        merged, _ = p2p_ops.p2p_collide(merged, meta, active=act_m)
+        merged, grid_of = p2p_ops.p2p_collide(merged, meta, active=act_m)
         # ghosts' own updates are discarded; their owners compute the
         # mirrored response from their side of the exchange.
         state = _take(merged, jnp.arange(n_loc))
@@ -215,7 +215,10 @@ def make_domain_step(dcfg: DomainConfig, cfg: SimConfig, mesh: Mesh):
 
         halo_of = jax.lax.psum(of_l + of_r, AXIS)
         mig_of = jax.lax.psum(ofm_l + ofm_r + of_cap + of_merge, AXIS)
-        return final, jnp.stack([halo_of, mig_of])
+        # saturated-cell drops in the local p2p grid (ADVICE r1: dropped
+        # table entries skip contacts one-sidedly -- must be observable)
+        cell_of = jax.lax.psum(grid_of, AXIS)
+        return final, jnp.stack([halo_of, mig_of, cell_of])
 
     from jax import shard_map
 

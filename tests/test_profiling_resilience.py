@@ -1,5 +1,6 @@
 """Profiling utils + resilient runner (fault injection)."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -72,7 +73,7 @@ def test_resilient_runner_recovers_from_injected_failures():
         def step(s):
             calls["n"] += 1
             if first and calls["n"] == 120:
-                raise RuntimeError("injected device loss")
+                raise jax.errors.JaxRuntimeError("injected device loss")
             return real_step(s)
 
         return step
@@ -92,7 +93,7 @@ def test_resilient_runner_recovers_from_injected_failures():
 def test_resilient_runner_gives_up():
     def factory():
         def step(s):
-            raise RuntimeError("always broken")
+            raise jax.errors.JaxRuntimeError("always broken")
 
         return step
 
@@ -103,3 +104,22 @@ def test_resilient_runner_gives_up():
         raise AssertionError("expected DeviceLost")
     except DeviceLost:
         pass
+
+
+def test_resilient_runner_propagates_real_bugs():
+    """Non-device exceptions (shape bugs, typos) must NOT be retried as
+    device loss (ADVICE r1: bare-Exception catch masked real bugs)."""
+
+    def factory():
+        def step(s):
+            raise ValueError("a real bug, not device loss")
+
+        return step
+
+    state = spawn_grid(PRESETS["sample"], layers_y=1)
+    runner = ResilientRunner(factory, chunk=10, max_retries=3, retry_wait_s=0.05)
+    try:
+        runner.run(state, total_steps=20)
+        raise AssertionError("expected ValueError to propagate")
+    except ValueError:
+        assert runner.recoveries == 0

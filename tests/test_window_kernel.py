@@ -7,8 +7,11 @@ particles per 32k; see BASELINE.md) -- the exactness statement here uses
 the interpreter, which shares XLA's arithmetic.
 """
 
+import dataclasses
+
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from particlesystemhybridcollisiondetection_tpu.core.state import (
     active_mask,
@@ -22,6 +25,103 @@ from particlesystemhybridcollisiondetection_tpu.core.step import (
 from particlesystemhybridcollisiondetection_tpu.geometry.scenes import sample_scene
 
 
+def _fast_scene():
+    """sample_scene with 10x dt so first impacts land within ~100 steps --
+    the smoke-tier analog of the 1300-step slow equivalence runs."""
+    scene = sample_scene(width=128, height=128)
+    cfg = dataclasses.replace(scene.config, dt=scene.config.dt * 10)
+    return dataclasses.replace(scene, config=cfg)
+
+
+def test_sorted_kernel_matches_packed_smoke():
+    scene = _fast_scene()
+    cfg = scene.config
+    state = spawn_grid(cfg, layers_y=1, pad_multiple=1024)
+    mask = np.asarray(active_mask(state))
+    packed = make_spatial_step_grid(scene.triangles, cfg, variant="packed")
+    sorted_step = make_spatial_step_sorted(scene.triangles, cfg, interpret=True)
+
+    s = state
+    checked = 0
+    for k in range(150):
+        nxt = packed(s)
+        if k % 25 == 0 or int(nxt.collisions.sum()) != int(s.collisions.sum()):
+            ns = sorted_step(s)
+            np.testing.assert_array_equal(
+                np.asarray(ns.collisions)[mask],
+                np.asarray(nxt.collisions)[mask],
+                err_msg=f"step {k}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(ns.pos)[:, mask], np.asarray(nxt.pos)[:, mask],
+                rtol=1e-5, atol=1e-6, err_msg=f"step {k}",
+            )
+            checked += 1
+        s = nxt
+    assert checked >= 5
+    assert int(np.asarray(s.collisions)[mask].sum()) > 0
+
+
+def test_persistent_runner_matches_per_step_smoke():
+    from particlesystemhybridcollisiondetection_tpu.core.step import (
+        make_sorted_episode_runner,
+    )
+
+    scene = _fast_scene()
+    cfg = scene.config
+    state = spawn_grid(cfg, layers_y=1)
+    mask = np.asarray(active_mask(state))
+    step = make_spatial_step_sorted(scene.triangles, cfg, interpret=True)
+    runner = make_sorted_episode_runner(scene.triangles, cfg, interpret=True)
+    s = state
+    for _ in range(130):
+        s = step(s)
+    r = runner(state, 130)
+    np.testing.assert_array_equal(
+        np.asarray(r.collisions)[mask], np.asarray(s.collisions)[mask]
+    )
+    np.testing.assert_allclose(
+        np.asarray(r.pos)[:, mask], np.asarray(s.pos)[:, mask],
+        rtol=1e-6, atol=1e-7,
+    )
+    assert int(np.asarray(s.collisions)[mask].sum()) > 0
+
+
+def test_hybrid_sorted_matches_hybrid_packed_smoke():
+    from particlesystemhybridcollisiondetection_tpu.core.step import (
+        make_hybrid_step,
+        make_hybrid_step_sorted,
+    )
+
+    scene = _fast_scene()
+    cfg = scene.config
+    cam = scene.cameras[0]
+    state = spawn_grid(cfg, layers_y=1)
+    mask = np.asarray(active_mask(state))
+    a_step = make_hybrid_step(scene.triangles, cfg, cam)
+    b_step = make_hybrid_step_sorted(scene.triangles, cfg, cam, interpret=True)
+    s = state
+    checked = 0
+    for k in range(150):
+        na = a_step(s)
+        if k % 30 == 0 or int(na.collisions.sum()) != int(s.collisions.sum()):
+            nb = b_step(s)
+            np.testing.assert_array_equal(
+                np.asarray(nb.collisions)[mask],
+                np.asarray(na.collisions)[mask],
+                err_msg=f"step {k}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(nb.pos)[:, mask], np.asarray(na.pos)[:, mask],
+                rtol=1e-5, atol=1e-6, err_msg=f"step {k}",
+            )
+            checked += 1
+        s = na
+    assert checked >= 5
+    assert int(np.asarray(s.collisions)[mask].sum()) > 0
+
+
+@pytest.mark.slow
 def test_sorted_kernel_matches_packed_interpret():
     scene = sample_scene()
     cfg = scene.config
@@ -55,6 +155,7 @@ def test_sorted_kernel_matches_packed_interpret():
     assert int(np.asarray(s.collisions)[mask].sum()) > 0
 
 
+@pytest.mark.slow
 def test_overflow_fallback_kicks_in():
     """A window too small for the scene forces the compacted fallback;
     results must still match the packed path exactly."""
@@ -83,6 +184,7 @@ def test_overflow_fallback_kicks_in():
     assert n_over > 0, "expected window overflow with window=128"
 
 
+@pytest.mark.slow
 def test_hybrid_sorted_matches_hybrid_packed_interpret():
     from particlesystemhybridcollisiondetection_tpu.core.step import (
         make_hybrid_step,
@@ -133,6 +235,7 @@ def test_lane_gather_helper():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_persistent_episode_runner_matches_per_step():
     from particlesystemhybridcollisiondetection_tpu.core.step import (
         make_sorted_episode_runner,
