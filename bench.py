@@ -54,6 +54,36 @@ def main() -> None:
         f"device={jax.devices()[0].platform}, wall={elapsed:.1f}s",
         file=sys.stderr,
     )
+
+    # honesty check: the settled regime (particles piled on the mesh) is
+    # the slowest phase -- report it on stderr so the headline (which uses
+    # the same 151-steps-from-spawn protocol as earlier rounds) cannot
+    # hide a settled-state regression
+    try:
+        from particlesystemhybridcollisiondetection_tpu.core.step import (
+            make_sorted_episode_runner,
+        )
+        from particlesystemhybridcollisiondetection_tpu.core.state import spawn_grid
+        from particlesystemhybridcollisiondetection_tpu.utils.profiling import (
+            fence,
+            rtt_ms,
+        )
+
+        run = make_sorted_episode_runner(
+            scene.triangles, scene.config, resort_every=8
+        )
+        st = spawn_grid(scene.config, layers_y=64)
+        st = run(st, 620)  # through impact into the settled pile
+        fence(st.pos)
+        rtt = rtt_ms()
+        t1 = time.time()
+        st = run(st, 100)
+        fence(st.pos)
+        settled_ms = ((time.time() - t1) * 1000 - rtt) / 100
+        print(f"[bench] settled-phase: {settled_ms:.3f} ms/step", file=sys.stderr)
+    except Exception as e:  # pragma: no cover - informational only
+        print(f"[bench] settled-phase probe failed: {e}", file=sys.stderr)
+
     print(json.dumps(out))
 
 

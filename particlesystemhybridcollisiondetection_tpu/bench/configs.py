@@ -58,15 +58,17 @@ def _box_state(n, box_lo, box_hi, radius, restitution, seed=0, hetero=False):
 
 
 def _time_steps(step, state, steps, chunk=50):
+    from particlesystemhybridcollisiondetection_tpu.utils.profiling import fence
+
     state = step(state)
-    jax.block_until_ready(state.pos)
+    fence(state.pos)
     runner = make_episode_runner(step, chunk)
     t0 = time.perf_counter()
     done = 0
     while done < steps:
         state = runner(state)
-        jax.block_until_ready(state.pos)
         done += chunk
+    fence(state.pos)  # readback fence: block_until_ready lies on axon
     dt = time.perf_counter() - t0
     return state, done / dt, dt
 
@@ -191,13 +193,14 @@ def config_5(steps: int = 100, n: Optional[int] = None, n_shards: Optional[int] 
     mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:shards]), (dom.AXIS,))
     st = dom.shard_domain_state(dom.distribute(state, dcfg), mesh)
     step = dom.make_domain_step(dcfg, cfg, mesh)
+    from particlesystemhybridcollisiondetection_tpu.utils.profiling import fence
+
     st, stats = step(st)
-    jax.block_until_ready(st.pos)
+    fence(st.pos)
     t0 = time.perf_counter()
-    overflow = 0
     for _ in range(steps):
         st, stats = step(st)
-    jax.block_until_ready(st.pos)
+    fence(st.pos)  # readback fence: block_until_ready lies on axon
     dt = time.perf_counter() - t0
     return {
         "config": 5,

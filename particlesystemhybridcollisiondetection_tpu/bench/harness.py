@@ -68,33 +68,58 @@ def run_episode(
     chunk: int = 50,
     per_step_timing: bool = False,
     warmup_steps: int = 1,
+    persistent: Optional[bool] = None,
+    resort_every: int = 8,
 ) -> EpisodeResult:
+    """Roll + time one episode.
+
+    ``persistent``: for the spatial method on TPU, use the
+    persistent-sorted-order episode runner (lazy re-sort every
+    ``resort_every`` steps) -- the fastest path at 1M+.  Default: auto
+    (on for spatial on TPU, off elsewhere).  Implies chunked timing.
+    """
     cfg = scene.config
     steps = num_steps if num_steps is not None else cfg.lifetime_steps
+    if persistent is None:
+        persistent = (
+            Method(method) == Method.SPATIAL
+            and jax.default_backend() == "tpu"
+        )
+    if persistent and Method(method) == Method.SPATIAL and not per_step_timing:
+        return _run_episode_persistent(
+            scene, layers_y, steps, chunk, warmup_steps, resort_every
+        )
     step = make_method_step(scene, method, camera_index)
     state = spawn_grid(cfg, layers_y=layers_y)
     mask = np.asarray(active_mask(state))
     n_particles = int(mask.sum())
 
+    from particlesystemhybridcollisiondetection_tpu.utils.profiling import fence
+
     # Warm-up: trigger compilation outside the timed region (the reference
     # skips step 0's timing for the same reason, ParticleSys.cs:457).
     for _ in range(warmup_steps):
         state = step(state)
-    jax.block_until_ready(state.pos)
+    fence(state.pos)
 
+    # Timing methodology: steps form a dependency chain (state feeds
+    # state), so device execution is serialized regardless of dispatch;
+    # the region is closed with a host READBACK fence because
+    # block_until_ready returns early on the axon tunneled backend (see
+    # utils.profiling.fence).  Per-chunk numbers fence per chunk; the
+    # headline steps_per_sec uses the whole-region fence.
     step_ms: list[float] = []
     timed_steps = steps - warmup_steps
     if per_step_timing:
         for _ in range(timed_steps):
             t0 = time.perf_counter()
             state = step(state)
-            jax.block_until_ready(state.pos)
+            fence(state.pos)
             step_ms.append((time.perf_counter() - t0) * 1000.0)
         total_s = sum(step_ms) / 1000.0
     else:
-        # python-loop dispatch with a fence per chunk: dispatch overhead is
-        # ~0.1 ms/step, while wrapping the step in lax.fori_loop was
-        # measured 4.7x slower on TPU (XLA compiles the loop body without
+        # python-loop dispatch (wrapping the step in lax.fori_loop was
+        # measured 4.7x slower on TPU: XLA compiles the loop body without
         # the step's standalone optimizations).
         done = 0
         t_start = time.perf_counter()
@@ -103,7 +128,7 @@ def run_episode(
             t0 = time.perf_counter()
             for _ in range(n):
                 state = step(state)
-            jax.block_until_ready(state.pos)
+            fence(state.pos)
             ms = (time.perf_counter() - t0) * 1000.0 / n
             step_ms.extend([ms] * n)
             done += n
@@ -112,6 +137,56 @@ def run_episode(
     return EpisodeResult(
         method=method,
         camera=scene.cameras[camera_index].name if scene.cameras else "none",
+        num_particles=n_particles,
+        num_steps=timed_steps,
+        step_ms=step_ms,
+        collisions=np.asarray(state.collisions)[mask],
+        steps_per_sec=timed_steps / max(total_s, 1e-12),
+    )
+
+
+def _run_episode_persistent(
+    scene, layers_y, steps, chunk, warmup_steps, resort_every
+) -> EpisodeResult:
+    from particlesystemhybridcollisiondetection_tpu.core.step import (
+        make_sorted_episode_runner,
+    )
+    from particlesystemhybridcollisiondetection_tpu.utils.profiling import fence
+
+    cfg = scene.config
+    run = make_sorted_episode_runner(
+        scene.triangles, cfg, resort_every=resort_every
+    )
+    state = spawn_grid(cfg, layers_y=layers_y)
+    mask = np.asarray(active_mask(state))
+    n_particles = int(mask.sum())
+
+    # compile BOTH step variants (sorted + lazy) outside the timed region:
+    # a 1-step warmup would leave the lazy step to compile inside the
+    # first timed chunk
+    throwaway = run(state, resort_every + 1)
+    fence(throwaway.pos)
+    del throwaway
+    state = run(state, max(warmup_steps, 1))
+    fence(state.pos)
+
+    step_ms: list[float] = []
+    timed_steps = steps - warmup_steps
+    done = 0
+    t_start = time.perf_counter()
+    while done < timed_steps:
+        n = min(chunk, timed_steps - done)
+        t0 = time.perf_counter()
+        state = run(state, n)
+        fence(state.pos)
+        ms = (time.perf_counter() - t0) * 1000.0 / n
+        step_ms.extend([ms] * n)
+        done += n
+    total_s = time.perf_counter() - t_start
+
+    return EpisodeResult(
+        method="spatial",
+        camera=scene.cameras[0].name if scene.cameras else "none",
         num_particles=n_particles,
         num_steps=timed_steps,
         step_ms=step_ms,

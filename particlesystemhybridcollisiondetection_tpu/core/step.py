@@ -174,9 +174,9 @@ def spatial_collide_packed(
     backoff: float,
     active: Optional[jnp.ndarray] = None,
 ) -> ParticleState:
-    """Grid spatial collision via the packed-row layout: one [N, 2] cell
-    gather + num_groups [N, group*9] row gathers per step (see
-    ops.grid.PackedGrid for the rationale)."""
+    """Grid spatial collision via the packed planar layout: one [2, N]
+    cell gather + num_groups [group*9, N] axis-1 gathers per step (see
+    ops.grid.PackedGrid for the layout rationale)."""
     from particlesystemhybridcollisiondetection_tpu.ops.grid import cell_index
 
     pos, velo = state.pos, state.vel
@@ -186,10 +186,10 @@ def spatial_collide_packed(
     seg_len2 = speed2 * (dt * dt)
 
     cid = cell_index(pos, meta)
-    info = packed.cells[cid]  # [N, 2] single row-gather
-    row0 = info[:, 0]
-    count = info[:, 1]
-    max_row = packed.rows.shape[0] - 1
+    info = packed.cells[:, cid]  # [2, N] planar gather
+    row0 = info[0]
+    count = info[1]
+    max_row = packed.rows.shape[1] - 1
 
     # Candidate axis goes on the SUBLANES, particles stay on the 128-wide
     # lanes: all narrow-phase arithmetic runs at [G, N] shape (G = 8 =
@@ -204,8 +204,8 @@ def spatial_collide_packed(
 
     def body(g, acc):
         best_t2, best_t, best_n, any_hit = acc
-        rows = packed.rows[jnp.clip(row0 + g, 0, max_row)]  # [N, G*9]
-        r3 = jnp.transpose(rows, (1, 0)).reshape(group, 9, n)  # [G, 9, N]
+        rows = packed.rows[:, jnp.clip(row0 + g, 0, max_row)]  # [G*9, N]
+        r3 = rows.reshape(group, 9, n)  # [G, 9, N]
         v0 = jnp.stack([r3[:, 0], r3[:, 1], r3[:, 2]])  # [3, G, N]
         v1 = jnp.stack([r3[:, 3], r3[:, 4], r3[:, 5]])
         v2 = jnp.stack([r3[:, 6], r3[:, 7], r3[:, 8]])
@@ -447,7 +447,7 @@ def make_p2p_step(
     return step
 
 
-def _window_plan(cid_s, tables, window: int, nb: int, active_s=None):
+def _window_plan(cid_s, cells2, window: int, nb: int, active_s=None):
     """Per-block window geometry for the sorted kernel.
 
     Returns (rel, count, ws, k_cap, overflow): each particle's CSR range
@@ -460,9 +460,12 @@ def _window_plan(cid_s, tables, window: int, nb: int, active_s=None):
     )
 
     n = cid_s.shape[0]
-    info = tables.cells[cid_s]  # [N, 2]
-    start = info[:, 0]
-    count = info[:, 1]
+    # planar [2, C] axis-1 gather: hits XLA's fast vectorized gather path
+    # (0.04 ms at 1M vs 23 ms for the round-1 [C, 2] row gather; see
+    # WindowTables.cells2)
+    info = cells2[:, cid_s]  # [2, N]
+    start = info[0]
+    count = info[1]
     if active_s is not None:
         count = jnp.where(active_s, count, 0)  # decided -> no candidates
     sb = jnp.where(count > 0, start, jnp.int32(1 << 30)).reshape(nb, BLOCK)
@@ -619,7 +622,7 @@ def make_hybrid_step_sorted(
         active_s = rows_s[8] > 0.5
 
         rel, count, ws, k_cap, overflow = _window_plan(
-            cid_s, tables, window, nb, active_s=active_s
+            cid_s, tables.cells2, window, nb, active_s=active_s
         )
 
         pos_k, vel_k, hit_k = window_collide_sorted(
@@ -696,7 +699,8 @@ def make_method_step(
 def _auto_window(window, meta) -> int:
     """Pick the block-window size: cover the densest cell (rounded to a
     lane multiple), capped at 1024 rows of VMEM scratch.  Cells denser
-    than the cap rely on the exact compacted fallback every step."""
+    than the cap rely on the exact compacted fallback every step.
+    """
     if window is not None:
         return window
     want = ((meta.max_tris_per_cell + 127) // 128) * 128
@@ -784,7 +788,7 @@ def make_spatial_step_sorted(
         restit_s = rows_s[7]
 
         rel, count, ws, k_cap, overflow = _window_plan(
-            cid_s, tables, window, nb
+            cid_s, tables.cells2, window, nb
         )
 
         pos_k, vel_k, hit_k = window_collide_sorted(
@@ -834,6 +838,7 @@ def make_sorted_episode_runner(
     window: int | None = None,
     fallback_capacity: int = 8192,
     interpret: bool = False,
+    resort_every: int = 1,
 ):
     """Episode runner with PERSISTENT sorted order.
 
@@ -844,6 +849,14 @@ def make_sorted_episode_runner(
     restores order ONCE at the end.  Semantics identical to repeated
     ``make_spatial_step_sorted`` steps (same collisions, same per-id
     trajectories).
+
+    ``resort_every=k``: re-sort the particle order only every k-th step.
+    Sortedness is a PERFORMANCE hint, not a correctness requirement --
+    any particle whose candidate rows miss its block's window is redone
+    exactly by the chunked fallback -- so steps between re-sorts skip the
+    sort + permute entirely (the dominant glue cost at 1M).  Order drifts
+    slowly: free fall preserves cell order, and settled particles rarely
+    change cells, so drift-induced fallback work stays small.
 
     Returns ``run(state, num_steps) -> state`` (original order).
     """
@@ -866,24 +879,30 @@ def make_sorted_episode_runner(
     gravity = jnp.asarray(cfg.gravity, dtype=jnp.float32)
     m_cap = fallback_capacity
 
-    # carried rows: pos3 vel3 radius restitution collisions ids  (the two
-    # int rows ride as f32 -- exact up to 2^24; run() asserts n < 2^24)
+    # Carried state: rows8 f32[8, N] = pos3 vel3 radius restitution, plus
+    # aux i32[2, N] = (collisions, original ids) SEPARATELY.  A single
+    # [10, N] carry was the round-1 performance mystery (50+ ms/step):
+    # XLA's layout assignment flips the 10-row permute gather's output to
+    # a transposed {0,1} layout (trailing-dim-10 (8,128) tiles), blowing
+    # one fusion up to ~35 ms/step at 1M.  The split keeps both gathers
+    # on the planar fast layout.
     @jax.jit
-    def _step_rows(rows, tables, packed):
-        n = rows.shape[-1]
+    def _step_rows(rows8, aux, tables, packed):
+        n = rows8.shape[-1]
         nb = n // BLOCK
-        pos = rows[0:3]
+        pos = rows8[0:3]
         cid = cell_index(pos, meta)
         ids = jnp.arange(n, dtype=jnp.int32)
         cid_s, perm = jax.lax.sort((cid, ids), num_keys=1)
-        rows_s = rows[:, perm]
+        rows_s = rows8[:, perm]
+        aux_s = aux[:, perm]
         pos_s = rows_s[0:3]
         vel_s = rows_s[3:6]
         radius_s = rows_s[6]
         restit_s = rows_s[7]
 
         rel, count, ws, k_cap, overflow = _window_plan(
-            cid_s, tables, window, nb
+            cid_s, tables.cells2, window, nb
         )
 
         pos_k, vel_k, hit_k = window_collide_sorted(
@@ -900,50 +919,73 @@ def make_sorted_episode_runner(
         )
 
         # output stays in THIS step's sorted order
-        out = jnp.concatenate(
-            [
-                pos_k,
-                vel_k,
-                rows_s[6:8],
-                rows_s[8:9] + hit_k[None].astype(jnp.float32),
-                rows_s[9:10],
-            ],
-            axis=0,
+        out8 = jnp.concatenate([pos_k, vel_k, rows_s[6:8]], axis=0)
+        out_aux = jnp.stack([aux_s[0] + hit_k, aux_s[1]])
+        return out8, out_aux, n_over
+
+    # no-sort variant: current order kept as-is; the window plan runs on
+    # the (approximately sorted) raw cid sequence and the chunked
+    # fallback exactly redoes whatever no longer fits its block's window
+    @jax.jit
+    def _step_lazy(rows8, aux, tables, packed):
+        n = rows8.shape[-1]
+        nb = n // BLOCK
+        pos_s = rows8[0:3]
+        vel_s = rows8[3:6]
+        radius_s = rows8[6]
+        restit_s = rows8[7]
+        cid = cell_index(pos_s, meta)
+
+        rel, count, ws, k_cap, overflow = _window_plan(
+            cid, tables.cells2, window, nb
         )
-        return out, n_over
+
+        pos_k, vel_k, hit_k = window_collide_sorted(
+            pos_s, vel_s, radius_s, restit_s, rel, count, ws, k_cap, tables,
+            w=window, k_static=meta.max_tris_per_cell,
+            gravity=cfg.gravity, dt=cfg.dt, backoff=cfg.backoff,
+            interpret=interpret,
+        )
+
+        pos_k, vel_k, hit_k, n_over = _chunked_fallback(
+            (pos_k, vel_k, hit_k),
+            (pos_s, vel_s, radius_s, restit_s),
+            overflow, packed, meta, num_groups, group, gravity, cfg, m_cap,
+        )
+
+        out8 = jnp.concatenate([pos_k, vel_k, rows8[6:8]], axis=0)
+        out_aux = jnp.stack([aux[0] + hit_k, aux[1]])
+        return out8, out_aux, n_over
 
     @jax.jit
-    def _restore(rows):
-        ids = rows[9].astype(jnp.int32)
-        n = rows.shape[-1]
-        _, inv = jax.lax.sort((ids, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
-        return rows[:, inv]
+    def _restore(rows8, aux):
+        n = rows8.shape[-1]
+        _, inv = jax.lax.sort(
+            (aux[1], jnp.arange(n, dtype=jnp.int32)), num_keys=1
+        )
+        return rows8[:, inv], aux[:, inv]
 
     def run(state: ParticleState, num_steps: int) -> ParticleState:
         n = state.pos.shape[-1]
         assert n % BLOCK == 0, n
-        assert n < 2**24, (
-            f"persistent-order runner carries ids as f32 rows (exact only "
-            f"to 2^24); n={n} would corrupt the order restoration"
-        )
-        rows = jnp.concatenate(
+        rows8 = jnp.concatenate(
             [
                 state.pos,
                 state.vel,
                 state.radius[None],
                 state.restitution[None],
-                state.collisions.astype(jnp.float32)[None],
-                jnp.arange(n, dtype=jnp.float32)[None],
             ],
             axis=0,
         )
-        for _ in range(num_steps):
-            rows, _ = _step_rows(rows, tables, packed)
-        rows = _restore(rows)
+        aux = jnp.stack([state.collisions, jnp.arange(n, dtype=jnp.int32)])
+        for i in range(num_steps):
+            fn = _step_rows if i % resort_every == 0 else _step_lazy
+            rows8, aux, _ = fn(rows8, aux, tables, packed)
+        rows8, aux = _restore(rows8, aux)
         return state._replace(
-            pos=rows[0:3],
-            vel=rows[3:6],
-            collisions=rows[8].astype(jnp.int32),
+            pos=rows8[0:3],
+            vel=rows8[3:6],
+            collisions=aux[0],
         )
 
     return run
@@ -967,16 +1009,9 @@ def sorted_step_overflow_count(triangles, cfg: SimConfig, state, window: int = 5
     tables = build_window_tables(grid, meta, window)
     n = state.pos.shape[-1]
     nb = n // BLOCK
-    cid = jnp.sort(cell_index(state.pos, meta))
-    info = tables.cells[cid]
-    start, count = info[:, 0], info[:, 1]
-    sb = start.reshape(nb, BLOCK)
-    cb = count.reshape(nb, BLOCK)
-    big = jnp.int32(1 << 30)
-    ws = jnp.min(jnp.where(cb > 0, sb, big), axis=1)
-    ws = jnp.where(ws == big, 0, ws)
-    rel = start - jnp.broadcast_to(ws[:, None], (nb, BLOCK)).reshape(n)
-    return int(jnp.sum((count > 0) & ((rel < 0) | (rel + count > window))))
+    cid_s = jnp.sort(cell_index(state.pos, meta))
+    _, _, _, _, overflow = _window_plan(cid_s, tables.cells2, window, nb)
+    return int(jnp.sum(overflow))
 
 
 def make_episode_runner(step: StepFn, num_steps: int) -> Callable[[ParticleState], ParticleState]:

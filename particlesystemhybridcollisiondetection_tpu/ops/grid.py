@@ -190,19 +190,18 @@ def _build_native(triangles, cfg: GridConfig, margin: float):
 
 
 class PackedGrid(NamedTuple):
-    """Gather-optimized layout of the CSR grid.
+    """Gather-optimized PLANAR layout of the CSR grid.
 
-    TPU XLA gathers cost roughly per-row, not per-byte (measured ~0.5 ms
-    per [262k] gather inside a step, vs ~0.03 ms for a fused elementwise
-    pass) -- so the streaming narrow phase's ~10 gathers per candidate
-    slot dominate everything.  This layout packs ``group`` candidate
-    triangles' vertices into one row so a single row-gather feeds G
-    candidates, and fuses (start, count) into one [C, 2] row-gather:
-    ~(1 + K/G) gathers per step instead of ~10*K.
+    Layouts are load-bearing on TPU: XLA lowers a multi-row axis-1 gather
+    (``tab[:, idx]`` with ``tab`` a jit argument) to a fast vectorized
+    path (~0.04 ms for 1M indices on v5e), while 1-D gathers and
+    trailing-axis row gathers take a ~9.5 ns/index scalar path (9.5-33 ms
+    at 1M).  Measured 2026-08; see benchmarks/profile_sorted.py.  So both
+    tables here keep the gathered axis LAST:
 
-    rows:  f32[Pg, group * 9]  (v0 v1 v2 xyz per candidate; sentinel-
-           padded cells, rows of 1e38 beyond each cell's count)
-    cells: i32[C, 2] = (first packed row, pair count) per cell
+    rows:  f32[group * 9, Pg]  (v0 v1 v2 xyz per candidate slot;
+           sentinel 1e38 columns beyond each cell's count)
+    cells: i32[2, C] = (first packed row, pair count) per cell
     """
 
     rows: jnp.ndarray
@@ -235,11 +234,13 @@ def pack_grid(grid: TriangleGrid, meta: GridMeta, group: int = 8):
     dst_slot = rank % group
     rows[dst_row, dst_slot] = verts[tri_ids]
 
-    cells = np.stack(
-        [row_start[:-1], counts], axis=1
-    ).astype(np.int32)  # [C, 2]
+    cells = np.stack([row_start[:-1], counts], axis=0).astype(np.int32)  # [2, C]
     packed = PackedGrid(
-        rows=jnp.asarray(rows.reshape(max(pg_rows, 1), group * 9)),
+        rows=jnp.asarray(
+            np.ascontiguousarray(
+                rows.reshape(max(pg_rows, 1), group * 9).T
+            )
+        ),  # [group*9, Pg] planar
         cells=jnp.asarray(cells),
     )
     num_groups_max = int(groups.max()) if len(groups) else 1

@@ -55,10 +55,17 @@ class WindowTables(NamedTuple):
     """Host-built device tables for the kernel."""
 
     # vertex components pre-replicated across the 8 sublanes so the kernel
-    # can slice aligned [8, w] tiles (Mosaic cannot sublane-broadcast a
-    # mid-offset row slice): pairs_rep[c, s, p] == component c of pair p.
-    pairs_rep: jnp.ndarray  # f32[9, 8, P_pad]
-    cells: jnp.ndarray  # i32[C, 2] = (start, count) per cell
+    # can slice aligned [8, w] tiles (Mosaic requires DMA slices of >= 8
+    # sublanes, so per-sublane-row windows are not expressible; windows
+    # are per 1024-particle block)
+    pairs: jnp.ndarray  # f32[9, 8, P_pad]
+    # (start, count) per cell as a PLANAR [2, C] i32 table.  Layout is
+    # load-bearing: XLA-on-TPU lowers a multi-row axis-1 gather from a
+    # jit *argument* to a fast vectorized path (~0.04 ms at 1M on v5e),
+    # while any 1-D gather -- and any gather from a closure-captured
+    # constant -- takes a ~9.5 ns/index scalar path (9.5-33 ms at 1M).
+    # Measured 2026-08 on v5e; see benchmarks/profile_sorted.py.
+    cells2: jnp.ndarray  # i32[2, C]: row 0 = start, row 1 = count
 
 
 def build_window_tables(grid: TriangleGrid, meta: GridMeta, w: int) -> WindowTables:
@@ -74,8 +81,9 @@ def build_window_tables(grid: TriangleGrid, meta: GridMeta, w: int) -> WindowTab
     pt[:, 0, :p] = pairs
     pt = np.broadcast_to(pt, (9, SUB, p_pad)).copy()
     counts = np.diff(offsets)
-    cells = np.stack([offsets[:-1], counts], axis=1).astype(np.int32)
-    return WindowTables(pairs_rep=jnp.asarray(pt), cells=jnp.asarray(cells))
+    starts = offsets[:-1]
+    cells2 = np.stack([starts, counts], axis=0).astype(np.int32)  # [2, C]
+    return WindowTables(pairs=jnp.asarray(pt), cells2=jnp.asarray(cells2))
 
 
 def _lane_gather(tab, idx):
@@ -122,10 +130,12 @@ def _kernel(
     win_start = pl.multiple_of(win_start_ref[b], 128)
     k_cap = k_cap_ref[b]
 
-    cp = pltpu.make_async_copy(
-        pairs_hbm.at[:, :, pl.ds(win_start, w)], win_ref, sem
-    )
-    cp.start()
+    copies = [
+        pltpu.make_async_copy(
+            pairs_hbm.at[:, :, pl.ds(win_start, w)], win_ref, sem
+        )
+    ]
+    copies[0].start()
 
     pos = pos_ref[:]
     vel = vel_ref[:]
@@ -139,7 +149,8 @@ def _kernel(
     dirn = vel * inv_speed[None]
     seg2 = speed2 * (dt * dt)
 
-    cp.wait()
+    for cp in copies:
+        cp.wait()
 
     def dot3(a, b):
         return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
@@ -379,7 +390,7 @@ def window_collide_sorted(
         shape2(restit_s),
         shape2(rel_start),
         shape2(count),
-        tables.pairs_rep,
+        tables.pairs,
     )
     return (
         pos_o.reshape(3, n),

@@ -24,6 +24,41 @@ import jax
 import numpy as np
 
 
+def fence(tree) -> None:
+    """Hard device fence: transfer one element of the first array leaf to
+    the host.
+
+    ``jax.block_until_ready`` is NOT a reliable fence on the axon
+    (tunneled-TPU) backend: it was measured returning ~800 ms early on a
+    queue of independent dispatches (2026-08, see BASELINE.md "timing
+    methodology").  A host readback cannot complete before every enqueued
+    producer has, so all timing in this repo fences with a readback and,
+    where it matters, subtracts the measured round-trip (see ``rtt_ms``).
+    """
+    leaves = [x for x in jax.tree.leaves(tree) if hasattr(x, "shape")]
+    if not leaves:
+        return
+    leaf = leaves[0]
+    idx = tuple(0 for _ in leaf.shape)
+    np.asarray(leaf[idx] if leaf.shape else leaf)
+
+
+def rtt_ms(reps: int = 10) -> float:
+    """Measured host<->device round-trip of a tiny jitted op + scalar
+    readback (~28 ms over the axon tunnel; ~us locally)."""
+    import jax.numpy as jnp
+
+    tiny = jax.jit(lambda v: v + 1.0)
+    x = jnp.float32(0.0)
+    for _ in range(3):
+        x = tiny(x)
+    float(x)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        float(tiny(x))
+    return (time.perf_counter() - t0) / reps * 1000.0
+
+
 class Stopwatch:
     """Named-lap host timer (the BVH-build Stopwatch analog)."""
 

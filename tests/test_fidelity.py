@@ -14,6 +14,7 @@ from particlesystemhybridcollisiondetection_tpu.core.step import (
 from particlesystemhybridcollisiondetection_tpu.geometry import mesh as gmesh
 
 import reference_impl as ref
+import pytest
 
 F = np.float32
 
@@ -29,6 +30,7 @@ def _state_from_np(pos, vel, radius, bounce):
     )
 
 
+@pytest.mark.slow
 def test_1000_step_trajectory_matches_oracle():
     """Production (packed grid) path vs the scalar HLSL transcription over
     1000 steps with multiple bounces: 1e-4 (BASELINE.md fidelity row)."""

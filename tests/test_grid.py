@@ -2,6 +2,7 @@
 the brute-force path (the grid must never change trajectories, only cost)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from particlesystemhybridcollisiondetection_tpu.config import GridConfig
@@ -105,6 +106,7 @@ def test_grid_step_equals_bruteforce_step():
     assert int(np.asarray(s.collisions)[mask].sum()) > 0
 
 
+@pytest.mark.slow
 def test_grid_long_run_statistics_match_bruteforce():
     """Long-run behavior of the two paths agrees statistically (chaos makes
     per-particle trajectories diverge; the ensemble must not)."""

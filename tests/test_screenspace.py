@@ -25,6 +25,7 @@ from particlesystemhybridcollisiondetection_tpu.ops.screenspace import (
 )
 
 import reference_impl as ref
+import pytest
 
 F = np.float32
 
@@ -116,6 +117,7 @@ def test_kernel_matches_scalar_oracle():
         np.testing.assert_allclose(np.asarray(out.vel).T, ref_vel, rtol=1e-5, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_methods_behavioral_comparison():
     """Run all three methods on the sample scene.  Screen-space sees only
     camera-visible geometry; spatial is exact; hybrid must track spatial

@@ -87,6 +87,35 @@ def test_persistent_runner_matches_per_step_smoke():
     assert int(np.asarray(s.collisions)[mask].sum()) > 0
 
 
+def test_lazy_resort_runner_matches_per_step_smoke():
+    """resort_every > 1 skips the sort most steps; the chunked fallback
+    must make results identical to the always-sorted runner (sortedness
+    is a performance hint, never a correctness requirement)."""
+    from particlesystemhybridcollisiondetection_tpu.core.step import (
+        make_sorted_episode_runner,
+    )
+
+    scene = _fast_scene()
+    cfg = scene.config
+    state = spawn_grid(cfg, layers_y=1)
+    mask = np.asarray(active_mask(state))
+    step = make_spatial_step_sorted(scene.triangles, cfg, interpret=True)
+    runner = make_sorted_episode_runner(
+        scene.triangles, cfg, interpret=True, resort_every=7
+    )
+    s = state
+    for _ in range(130):
+        s = step(s)
+    r = runner(state, 130)
+    np.testing.assert_array_equal(
+        np.asarray(r.collisions)[mask], np.asarray(s.collisions)[mask]
+    )
+    np.testing.assert_allclose(
+        np.asarray(r.pos)[:, mask], np.asarray(s.pos)[:, mask],
+        rtol=1e-6, atol=1e-7,
+    )
+
+
 def test_hybrid_sorted_matches_hybrid_packed_smoke():
     from particlesystemhybridcollisiondetection_tpu.core.step import (
         make_hybrid_step,
