@@ -22,6 +22,12 @@ BASELINE_PARTICLE_STEPS_PER_SEC = 1_000_000 * 60.0
 def main() -> None:
     import jax
 
+    from particlesystemhybridcollisiondetection_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
+
     from particlesystemhybridcollisiondetection_tpu.bench.harness import run_episode
     from particlesystemhybridcollisiondetection_tpu.geometry.scenes import bunny_scene
 

@@ -22,6 +22,11 @@ import time
 
 
 def main() -> int:
+    from particlesystemhybridcollisiondetection_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="bunny", choices=["sample", "bunny", "dragon", "dragons"])
     ap.add_argument("--out", default="BenchmarkResults")

@@ -220,6 +220,11 @@ def cmd_config(args) -> int:
 
 
 def main(argv=None) -> int:
+    from particlesystemhybridcollisiondetection_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
     parser = argparse.ArgumentParser(
         prog="particlesystemhybridcollisiondetection_tpu"
     )

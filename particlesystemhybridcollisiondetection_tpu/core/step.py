@@ -318,14 +318,20 @@ def make_spatial_step_grid(
     return step
 
 
-def make_screenspace_step(triangles, cfg: SimConfig, camera) -> StepFn:
-    """Screen-space depth collision method (ParticleSys.cs:455-459 path)."""
+def make_screenspace_step(
+    triangles, cfg: SimConfig, camera, normals=None
+) -> StepFn:
+    """Screen-space depth collision method (ParticleSys.cs:455-459 path).
+
+    ``normals``: optional per-corner shading normals f32[T, 3, 3] for the
+    pre-pass (NormalPrePass.shader interpolation); face normals otherwise.
+    """
     from particlesystemhybridcollisiondetection_tpu.ops.screenspace import (
         bake_camera,
         screen_space_collide,
     )
 
-    tex = bake_camera(triangles, camera)
+    tex = bake_camera(triangles, camera, normals)
     gravity = jnp.asarray(cfg.gravity, dtype=jnp.float32)
 
     @jax.jit
@@ -337,7 +343,7 @@ def make_screenspace_step(triangles, cfg: SimConfig, camera) -> StepFn:
     return step
 
 
-def make_hybrid_step(triangles, cfg: SimConfig, camera) -> StepFn:
+def make_hybrid_step(triangles, cfg: SimConfig, camera, normals=None) -> StepFn:
     """Hybrid method (ParticleSys.cs:622-639): screen-space stage, then the
     exact spatial stage restricted to the undecided set.
 
@@ -357,7 +363,7 @@ def make_hybrid_step(triangles, cfg: SimConfig, camera) -> StepFn:
         screen_space_collide,
     )
 
-    tex = bake_camera(triangles, camera)
+    tex = bake_camera(triangles, camera, normals)
     grid, meta = build_triangle_grid(triangles, cfg.grid)
     group = 8
     packed, num_groups = pack_grid(grid, meta, group=group)
@@ -395,22 +401,23 @@ def make_p2p_step(
     Order per step: p2p impulses -> wall response -> integrate, keeping
     the collide-before-integrate convention.
 
-    ``variant``: "slots" (gather loop; any domain size), "dense" (the
-    gather-free cell-table stencil), or "auto" (currently slots: the
-    dense table's trailing [M, F] dims trigger TPU (8,128) tile padding
-    -- a 16x memory blowup observed as an OOM at 1M particles -- until
-    it is relaid out planar like the spatial window kernel).
+    ``variant``: "kernel" (sorted 9-run block-window Pallas kernel, exact
+    for any occupancy -- the TPU performance path), "sorted" (same runs
+    evaluated by XLA gathers; the CPU/testing path), "slots" (27 x
+    capacity gather loop), "dense" (the gather-free cell-table stencil;
+    OOMs at 1M from trailing-dim tile padding), or "auto" (kernel on TPU,
+    sorted elsewhere, when the grid shape permits; else slots).
 
     ``with_stats``: return ``(state, {"cell_overflow": i32})`` so
     saturated-cell drops (one-sided impulses) are observable (ADVICE r1).
+    The sorted variant cannot saturate and always reports 0.
     ``max_radius``: largest particle radius in the state; the 27-cell
     stencil misses contacts when cell_size < 2 * max_radius, so this is
     asserted at build time (heterogeneous-radii runs must pass it).
     """
-    if variant == "auto":
-        variant = "slots"
     from particlesystemhybridcollisiondetection_tpu.core.state import active_mask
     from particlesystemhybridcollisiondetection_tpu.ops import p2p as p2p_ops
+    from particlesystemhybridcollisiondetection_tpu.ops import p2p_sorted as p2ps
     from particlesystemhybridcollisiondetection_tpu.ops import pgrid as pg
     from particlesystemhybridcollisiondetection_tpu.ops.p2p_dense import (
         p2p_collide_dense,
@@ -426,16 +433,57 @@ def make_p2p_step(
         "would miss contacts between large particles in non-adjacent cells"
     )
     meta = pg.make_meta(box_lo, box_hi, h, capacity=capacity)
-    collide = p2p_collide_dense if variant == "dense" else p2p_ops.p2p_collide
+    if variant == "auto":
+        if meta.dims[2] >= 3:
+            variant = "kernel" if jax.default_backend() == "tpu" else "sorted"
+        else:
+            variant = "slots"
+    if variant == "kernel":
+        # TWO jitted programs per step, split between the Pallas kernel
+        # and the fallback/response: the monolithic program crashed the
+        # TPU worker nondeterministically at 1M (see p2p_window_phase1's
+        # docstring).  One extra dispatch (~100 us) per step.
+        p2ps.check_meta(meta)
 
-    @jax.jit
-    def _step(state: ParticleState):
-        act = active_mask(state)
-        state, overflow = collide(state, meta, active=act)
-        state = p2p_ops.box_walls_collide(state, box_lo, box_hi, gravity, cfg.dt)
-        new_pos, new_vel = integrate(state.pos, state.vel, gravity, cfg.dt)
-        out = state._replace(pos=new_pos, vel=new_vel)
-        return out, {"cell_overflow": overflow}
+        @jax.jit
+        def _phase1(state: ParticleState):
+            return p2ps.p2p_window_phase1(
+                state, meta, active=active_mask(state)
+            )
+
+        @jax.jit
+        def _phase2(state: ParticleState, parts):
+            state, overflow = p2ps.p2p_window_phase2(state, parts)
+            state = p2p_ops.box_walls_collide(
+                state, box_lo, box_hi, gravity, cfg.dt
+            )
+            new_pos, new_vel = integrate(state.pos, state.vel, gravity, cfg.dt)
+            out = state._replace(pos=new_pos, vel=new_vel)
+            return out, {"cell_overflow": overflow}
+
+        def _step(state: ParticleState):
+            return _phase2(state, _phase1(state))
+
+    else:
+        if variant == "sorted":
+            p2ps.check_meta(meta)
+            collide = p2ps.p2p_collide_sorted
+        elif variant == "dense":
+            collide = p2p_collide_dense
+        else:
+            assert variant == "slots", variant
+            collide = p2p_ops.p2p_collide
+
+        @jax.jit
+        def _step(state: ParticleState):
+            act = active_mask(state)
+            state, overflow = collide(state, meta, active=act)
+            state = p2p_ops.box_walls_collide(
+                state, box_lo, box_hi, gravity, cfg.dt
+            )
+            new_pos, new_vel = integrate(state.pos, state.vel, gravity, cfg.dt)
+            out = state._replace(pos=new_pos, vel=new_vel)
+            return out, {"cell_overflow": overflow}
 
     if with_stats:
         def step(state: ParticleState):
@@ -557,11 +605,14 @@ def make_hybrid_step_sorted(
     triangles,
     cfg: SimConfig,
     camera,
+    normals=None,
     *,
     window: int | None = None,
     fallback_capacity: int = 8192,
     interpret: bool = False,
     with_stats: bool = False,
+    mesh=None,
+    axis_name: str = "data",
 ) -> StepFn:
     """Hybrid method with the sorted block-window Pallas kernel as the
     exact fallback stage.
@@ -571,6 +622,10 @@ def make_hybrid_step_sorted(
     candidate counts zeroed for decided particles -- the mask costs
     nothing because the kernel's per-block candidate loop adapts to the
     live counts.  Integration is fused into the kernel for everyone.
+
+    ``mesh``: optional 1-D mesh for multi-chip data parallelism (see
+    make_spatial_step_sorted: per-shard sort inside shard_map, replicated
+    scene/texture tables, psum'd stats).
     """
     from particlesystemhybridcollisiondetection_tpu.ops.grid import (
         build_triangle_grid,
@@ -587,7 +642,7 @@ def make_hybrid_step_sorted(
         screen_space_collide,
     )
 
-    tex = bake_camera(triangles, camera)
+    tex = bake_camera(triangles, camera, normals)
     grid, meta = build_triangle_grid(triangles, cfg.grid)
     window = _auto_window(window, meta)
     tables = build_window_tables(grid, meta, window)
@@ -596,8 +651,7 @@ def make_hybrid_step_sorted(
     gravity = jnp.asarray(cfg.gravity, dtype=jnp.float32)
     m_cap = fallback_capacity
 
-    @jax.jit
-    def _step(state: ParticleState, tex, tables, packed):
+    def _body(state: ParticleState, tex, tables, packed):
         state, undecided = screen_space_collide(
             state, tex, gravity, cfg.dt, hybrid=True
         )
@@ -655,6 +709,8 @@ def make_hybrid_step_sorted(
         )
         return out, {"window_overflow": n_over}
 
+    _step = _jit_maybe_sharded(_body, mesh, axis_name)
+
     if with_stats:
         def step(state: ParticleState):
             return _step(state, tex, tables, packed)
@@ -686,14 +742,15 @@ def make_method_step(
             return make_spatial_step_sorted(scene.triangles, cfg)
         return make_spatial_step_grid(scene.triangles, cfg, variant=v)
     camera = scene.cameras[camera_index]
+    normals = getattr(scene, "corner_normals", None)
     if method == Method.SCREEN_SPACE:
-        return make_screenspace_step(scene.triangles, cfg, camera)
+        return make_screenspace_step(scene.triangles, cfg, camera, normals)
     v = spatial_variant
     if v == "auto":
         v = "sorted" if jax.default_backend() == "tpu" else "packed"
     if v == "sorted":
-        return make_hybrid_step_sorted(scene.triangles, cfg, camera)
-    return make_hybrid_step(scene.triangles, cfg, camera)
+        return make_hybrid_step_sorted(scene.triangles, cfg, camera, normals)
+    return make_hybrid_step(scene.triangles, cfg, camera, normals)
 
 
 def _auto_window(window, meta) -> int:
@@ -724,6 +781,8 @@ def make_spatial_step_sorted(
     fallback_capacity: int = 8192,
     interpret: bool = False,
     with_stats: bool = False,
+    mesh=None,
+    axis_name: str = "data",
 ) -> StepFn:
     """Spatial method via the sorted block-window Pallas kernel (see
     ops/pallas/window_kernel.py) -- the TPU performance path.
@@ -739,6 +798,12 @@ def make_spatial_step_sorted(
 
     ``with_stats``: return ``(state, {"window_overflow": i32})`` instead
     of just the state, so callers can observe window pressure.
+
+    ``mesh``: a 1-D ``jax.sharding.Mesh`` -> multi-chip data parallelism.
+    The sort is a pure locality optimization, so each shard sorts only
+    its OWN particles inside ``shard_map`` (static scene tables are
+    replicated; zero collectives on the hot path; the overflow stat is
+    ``psum``-reduced).  Per-shard particle count must divide BLOCK.
     """
     from particlesystemhybridcollisiondetection_tpu.ops.grid import (
         build_triangle_grid,
@@ -762,8 +827,7 @@ def make_spatial_step_sorted(
     # big tables enter as traced arguments, NOT closure captures: captured
     # device arrays are serialized into the compile payload (observed as
     # HTTP 413 on the remote-compile path at ~190 MB)
-    @jax.jit
-    def _step(state: ParticleState, tables, packed):
+    def _body(state: ParticleState, tables, packed):
         pos, vel = state.pos, state.vel
         n = pos.shape[-1]
         assert n % BLOCK == 0, (
@@ -821,6 +885,8 @@ def make_spatial_step_sorted(
         )
         return out, {"window_overflow": n_over}
 
+    _step = _jit_maybe_sharded(_body, mesh, axis_name)
+
     if with_stats:
         def step(state: ParticleState):
             return _step(state, tables, packed)
@@ -829,6 +895,46 @@ def make_spatial_step_sorted(
             return _step(state, tables, packed)[0]
 
     return step
+
+
+def _jit_maybe_sharded(body, mesh, axis_name: str):
+    """jit ``body(state, *tables) -> (state, stats)``; with a mesh, wrap it
+    in ``shard_map`` first: the state's particle axis is sharded, every
+    table arg is replicated, and scalar stats are psum-reduced so every
+    shard returns the same (global) value.  This is how the sorted Pallas
+    pipeline goes multi-chip: each device sorts and windows only its own
+    particles -- the sort is a locality optimization, not a semantic
+    ordering -- so no collective touches the hot path."""
+    if mesh is None:
+        return jax.jit(body)
+    from jax.sharding import PartitionSpec as P
+
+    state_spec = ParticleState(
+        pos=P(None, axis_name),
+        vel=P(None, axis_name),
+        collisions=P(axis_name),
+        radius=P(axis_name),
+        restitution=P(axis_name),
+    )
+
+    def sharded(state, *tabs):
+        out, stats = body(state, *tabs)
+        stats = jax.tree.map(lambda s: jax.lax.psum(s, axis_name), stats)
+        return out, stats
+
+    def wrapper(state, *tabs):
+        rep = jax.tree.map(lambda _: P(), tabs)
+        f = jax.shard_map(
+            sharded,
+            mesh=mesh,
+            in_specs=(state_spec, *rep),
+            out_specs=(state_spec, jax.tree.map(lambda _: P(), {"window_overflow": 0})),
+            # pallas_call inside shard_map has no vma annotations yet
+            check_vma=False,
+        )
+        return f(state, *tabs)
+
+    return jax.jit(wrapper)
 
 
 def make_sorted_episode_runner(

@@ -21,11 +21,17 @@ import numpy as np
 
 @dataclasses.dataclass
 class TriangleMesh:
-    """Indexed triangle mesh in local (model) space."""
+    """Indexed triangle mesh in local (model) space.
+
+    ``corner_normals`` (optional, f64[T, 3, 3] aligned with ``faces``) are
+    per-corner shading normals -- the authored smooth normals FBX stores
+    ByPolygonVertex.  ``None`` means flat shading (face normals).
+    """
 
     vertices: np.ndarray  # f64[V, 3]
     faces: np.ndarray  # i64[T, 3]
     name: str = ""
+    corner_normals: Optional[np.ndarray] = None  # f64[T, 3, 3]
 
     @property
     def num_triangles(self) -> int:
@@ -34,6 +40,17 @@ class TriangleMesh:
     def triangles(self) -> np.ndarray:
         """f64[T, 3(vert), 3(xyz)] triangle soup."""
         return self.vertices[self.faces]
+
+    def with_smooth_normals(self) -> "TriangleMesh":
+        """Copy with area-weighted smooth vertex normals (the standard
+        importer behavior for meshes authored without normals)."""
+        tris = self.triangles()
+        fn = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+        vn = np.zeros_like(self.vertices)
+        for k in range(3):  # cross length = 2*area: area weighting built in
+            np.add.at(vn, self.faces[:, k], fn)
+        vn /= np.maximum(np.linalg.norm(vn, axis=1, keepdims=True), 1e-300)
+        return dataclasses.replace(self, corner_normals=vn[self.faces])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -87,6 +104,37 @@ def flatten_scene(
     out = []
     for mesh, tf in instances:
         out.append(tf.apply(mesh.triangles()))
+    if not out:
+        return np.zeros((0, 3, 3), dtype=np.float32)
+    return np.concatenate(out, axis=0).astype(np.float32)
+
+
+def flatten_scene_normals(
+    instances: Sequence[tuple[TriangleMesh, Transform]],
+) -> np.ndarray:
+    """World-space per-corner shading normals f32[T, 3, 3], aligned with
+    ``flatten_scene``'s soup.
+
+    Meshes without authored ``corner_normals`` fall back to face normals
+    (flat shading -- identical to the pre-round-2 rasterizer).  Normals
+    transform by the inverse-transpose of the linear part and are
+    renormalized, matching ``normalize(mul((float3x3)unity_ObjectToWorld,
+    v.normal))`` in NormalPrePass.shader:30 for Unity's uniform-scale
+    benchmark transforms (for non-uniform scale the inverse-transpose is
+    the correct general form).
+    """
+    out = []
+    for mesh, tf in instances:
+        if mesh.corner_normals is not None:
+            cn = mesh.corner_normals
+        else:
+            tris = mesh.triangles()
+            fn = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+            cn = np.broadcast_to(fn[:, None, :], tris.shape)
+        lin = tf.matrix()[:3, :3]
+        wn = cn @ np.linalg.inv(lin)  # rows @ inv(M) == (inv(M).T @ n).T
+        wn = wn / np.maximum(np.linalg.norm(wn, axis=-1, keepdims=True), 1e-300)
+        out.append(wn)
     if not out:
         return np.zeros((0, 3, 3), dtype=np.float32)
     return np.concatenate(out, axis=0).astype(np.float32)
@@ -360,6 +408,7 @@ def load_fbx(path: str, name: Optional[str] = None) -> TriangleMesh:
 
     verts = None
     polys = None
+    norm_layer = None
     objects = _fbx_find(roots, "Objects")
     for obj in objects:
         for geo in _fbx_find(obj[2], "Geometry") + _fbx_find(obj[2], "Model"):
@@ -368,26 +417,63 @@ def load_fbx(path: str, name: Optional[str] = None) -> TriangleMesh:
             if vs and ps:
                 verts = np.asarray(vs[0][1][0], dtype=np.float64).reshape(-1, 3)
                 polys = np.asarray(ps[0][1][0], dtype=np.int64)
+                ln = _fbx_find(geo[2], "LayerElementNormal")
+                if ln:
+                    norm_layer = ln[0][2]
                 break
         if verts is not None:
             break
     if verts is None:
         raise ValueError(f"{path}: no geometry found")
 
+    # Shading normals (NormalPrePass.shader consumes these as NORMAL):
+    # per-corner values, possibly behind an index table.
+    per_corner_n = None  # f64[len(polys), 3] or None
+    if norm_layer is not None:
+        mapping = next(
+            (n[1][0] for n in _fbx_find(norm_layer, "MappingInformationType")), ""
+        )
+        refmode = next(
+            (n[1][0] for n in _fbx_find(norm_layer, "ReferenceInformationType")), ""
+        )
+        nvals = next((n[1][0] for n in _fbx_find(norm_layer, "Normals")), None)
+        nidx = next((n[1][0] for n in _fbx_find(norm_layer, "NormalsIndex")), None)
+        if nvals is not None:
+            nvals = np.asarray(nvals, dtype=np.float64).reshape(-1, 3)
+            if mapping == "ByPolygonVertex":
+                if refmode == "IndexToDirect" and nidx is not None:
+                    per_corner_n = nvals[np.asarray(nidx, dtype=np.int64)]
+                elif refmode == "Direct" and len(nvals) == len(polys):
+                    per_corner_n = nvals
+            elif mapping in ("ByVertice", "ByVertex") and len(nvals) == len(verts):
+                vid = np.where(polys < 0, ~polys, polys)
+                per_corner_n = nvals[vid]
+
     # Decode polygons: negative index marks last vertex of a polygon
-    # (value = ~index); fan-triangulate.
+    # (value = ~index); fan-triangulate, tracking source corners so
+    # per-corner normals stay aligned with the triangle list.
     faces = []
+    corner_faces = []
     poly = []
-    for idx in polys:
+    pcorn = []
+    for c, idx in enumerate(polys):
+        poly.append(~idx if idx < 0 else idx)
+        pcorn.append(c)
         if idx < 0:
-            poly.append(~idx)
             for k in range(1, len(poly) - 1):
                 faces.append([poly[0], poly[k], poly[k + 1]])
+                corner_faces.append([pcorn[0], pcorn[k], pcorn[k + 1]])
             poly = []
-        else:
-            poly.append(idx)
+            pcorn = []
+
+    corner_normals = None
+    if per_corner_n is not None and faces:
+        corner_normals = per_corner_n[np.asarray(corner_faces, dtype=np.int64)]
 
     scale = unit_scale / 100.0  # Unity file-scale convention
     return TriangleMesh(
-        verts * scale, np.asarray(faces, dtype=np.int64), name or path
+        verts * scale,
+        np.asarray(faces, dtype=np.int64),
+        name or path,
+        corner_normals=corner_normals,
     )

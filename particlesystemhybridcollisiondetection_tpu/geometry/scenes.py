@@ -24,6 +24,7 @@ from particlesystemhybridcollisiondetection_tpu.geometry.mesh import (
     Transform,
     TriangleMesh,
     flatten_scene,
+    flatten_scene_normals,
     load_fbx,
     unity_cube,
     unity_plane,
@@ -43,6 +44,12 @@ class Scene:
     def triangles(self) -> np.ndarray:
         """World-space triangle soup f32[T, 3, 3]."""
         return flatten_scene(self.instances)
+
+    @functools.cached_property
+    def corner_normals(self) -> np.ndarray:
+        """World-space per-corner shading normals f32[T, 3, 3] (smooth
+        where the source mesh has them, face normals elsewhere)."""
+        return flatten_scene_normals(self.instances)
 
     @property
     def num_triangles(self) -> int:
@@ -103,7 +110,8 @@ def _dragon_standin(tri_budget: int = 400_000) -> TriangleMesh:
     target = np.array([500.0, 400.0, 320.0])
     v = (v - (vmin + vmax) / 2) / (vmax - vmin) * target
     v[:, 1] -= v[:, 1].min()  # rest on ground
-    return TriangleMesh(v, m.faces, "dragon_standin")
+    # smooth shading normals, like the scanned dragon Unity imports
+    return TriangleMesh(v, m.faces, "dragon_standin").with_smooth_normals()
 
 
 def sample_scene(width: int = 1920, height: int = 1080) -> Scene:

@@ -17,8 +17,12 @@ Conventions (must match ops/screenspace.py):
     radius rejects collisions and dot(0, v) < 0 is false, matching a
     cleared RenderTexture in the reference.
   * depth test keeps the smallest camera distance.
-  * normals are face normals (the reference interpolates mesh vertex
-    normals; for the flat-shaded benchmark colliders these coincide).
+  * with ``corner_normals`` the output normal is the perspective-correct
+    interpolation of the per-corner shading normals, renormalized per
+    pixel -- exactly the varying interpolation + ``normalize(i.normal)``
+    of NormalPrePass.shader:35-38.  Without them it falls back to face
+    normals (flat shading; identical for planes/cubes, different on
+    smooth meshes like the bunny).
 
 Perspective-correct interpolation: world position is interpolated as
 (world/w, 1/w) linearly in screen space, then divided -- the same result
@@ -33,9 +37,12 @@ from particlesystemhybridcollisiondetection_tpu.geometry.camera import Camera
 
 
 def rasterize_depth_normal(
-    triangles: np.ndarray, cam: Camera
+    triangles: np.ndarray, cam: Camera, corner_normals: np.ndarray = None
 ) -> tuple[np.ndarray, np.ndarray]:
     """triangles: f32[T, 3, 3] world soup -> (depth f32[H, W], normal f32[H, W, 3]).
+
+    ``corner_normals``: optional f32[T, 3, 3] world-space shading normals
+    (see module docstring).
 
     Triangles with any vertex at or behind the near plane are culled (no
     clipping); for the benchmark cameras the colliders are fully in front.
@@ -81,6 +88,8 @@ def rasterize_depth_normal(
     n_len = np.linalg.norm(face_n, axis=1, keepdims=True)
     ok &= n_len[:, 0] > 1e-20
     face_n = face_n / np.maximum(n_len, 1e-300)
+    if corner_normals is not None:
+        cnorm3 = np.asarray(corner_normals, dtype=np.float64)
 
     idxs = np.where(ok)[0]
     lo_x = np.clip(lo_x, 0, w_px - 1)
@@ -136,7 +145,18 @@ def rasterize_depth_normal(
         sub_d[upd] = dist[upd]
         depth[y0:y1, x0:x1] = sub_d
         sub_n = normal[y0:y1, x0:x1]
-        sub_n[upd] = face_n[ti]
+        if corner_normals is None:
+            sub_n[upd] = face_n[ti]
+        else:
+            nrm = (
+                b0[..., None] * (cnorm3[ti, 0] * inv_w3[ti, 0])
+                + b1[..., None] * (cnorm3[ti, 1] * inv_w3[ti, 1])
+                + b2[..., None] * (cnorm3[ti, 2] * inv_w3[ti, 2])
+            ) / inv_w[..., None]
+            nrm /= np.maximum(
+                np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-300
+            )
+            sub_n[upd] = nrm[upd]
         normal[y0:y1, x0:x1] = sub_n
 
     return depth, normal

@@ -46,11 +46,14 @@ class CameraTextures(NamedTuple):
         return self.depth.shape  # (H, W)
 
 
-def bake_camera(triangles: np.ndarray, cam: Camera) -> CameraTextures:
+def bake_camera(
+    triangles: np.ndarray, cam: Camera, corner_normals: np.ndarray = None
+) -> CameraTextures:
     """One-time pre-pass for a static scene + camera (the analog of
     DepthPrePass/NormalPrePass, run per frame in the reference but
-    invariant here)."""
-    depth, normal = rasterize_depth_normal(triangles, cam)
+    invariant here).  ``corner_normals`` enables the reference's smooth
+    vertex-normal interpolation (NormalPrePass.shader:35-38)."""
+    depth, normal = rasterize_depth_normal(triangles, cam, corner_normals)
     return CameraTextures(
         view=jnp.asarray(cam.view_matrix(), dtype=jnp.float32),
         proj=jnp.asarray(cam.projection_matrix(), dtype=jnp.float32),

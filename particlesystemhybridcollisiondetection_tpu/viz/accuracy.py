@@ -34,18 +34,49 @@ from particlesystemhybridcollisiondetection_tpu.viz.render import (
 
 
 def inspection_cameras(width: int = 1920, height: int = 1080) -> list[Camera]:
-    """Back + occluded-view inspection cameras for the benchmark scenes
-    (the analog of the DragonAccVisualizationScene camera pair)."""
+    """The DragonAccVisualizationScene inspection cameras, with the exact
+    transforms from the scene YAML (DragonAccVisualizationScene.unity:
+    CameraAccVisualizationBack ~:2557, CameraAccVisualizationOcluded
+    ~:2881, CameraBenchmarkAccVisualization ~:2989 -- the third is the
+    same pose as benchmark "Main Camera (1)")."""
+    mk = lambda name, pos, rot: Camera(  # noqa: E731
+        Transform(position=pos, rotation=rot), width=width, height=height, name=name
+    )
     return [
-        Camera(
-            Transform(position=(0.0, 400.0, 700.0), rotation=(0.0, 0.9537, -0.17, 0.0)),
-            width=width, height=height, name="CameraAccVisualizationBack",
+        mk(
+            "CameraAccVisualizationBack",
+            (-291.0, 364.0, 645.0),
+            (0.03132285, 0.96836823, -0.1621754, 0.18703249),
         ),
-        Camera(
-            # low and close behind the collider: sees the region occluded
-            # from the benchmark cameras
-            Transform(position=(0.0, 60.0, 320.0), rotation=(0.0, 0.98, 0.199, 0.0)),
-            width=width, height=height, name="CameraAccVisualizationOcluded",
+        mk(
+            "CameraAccVisualizationOcluded",
+            (-392.7, 376.4, -97.4),
+            (0.1841648, 0.5919906, -0.072377354, 0.781276),
+        ),
+        mk(
+            "CameraBenchmarkAccVisualization",
+            (-626.7, 230.0, -486.7),
+            (0.0, 0.42261827, 0.0, 0.9063079),
+        ),
+    ]
+
+
+def bug_report_cameras(width: int = 1920, height: int = 1080) -> list[Camera]:
+    """The DragonScene's pinned Bug/NoBug comparison views
+    (DragonScene.unity ~:2209 "Main Camera (Bug)" and ~:1668
+    "Main Camera (NoBug)"): straight-down views the author used to
+    document the hybrid stale-index race (see core/step.py's hybrid
+    notes).  Bug is the same pose as benchmark camera (2); NoBug is far
+    overhead, nearly nadir."""
+    mk = lambda name, pos, rot: Camera(  # noqa: E731
+        Transform(position=pos, rotation=rot), width=width, height=height, name=name
+    )
+    return [
+        mk("Main Camera (Bug)", (0.0, 800.0, 50.0), (0.7071068, 0.0, 0.0, 0.7071068)),
+        mk(
+            "Main Camera (NoBug)",
+            (0.0, 1536.0, -23.4),
+            (0.67559016, 0.0, 0.0, 0.7372774),
         ),
     ]
 

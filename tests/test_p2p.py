@@ -151,3 +151,184 @@ def test_pgrid_overflow_counted():
     meta = pg.make_meta((-1, -1, -1), (1, 1, 1), cell_size=2.0, capacity=8)
     grid = pg.build(jnp.asarray(pos.T), meta)
     assert int(grid.overflow) == n - 8
+
+
+def test_p2p_sorted_matches_bruteforce():
+    """The sorted-segment path (the performance path) implements the
+    identical contact model, including heterogeneous radii/restitution."""
+    from particlesystemhybridcollisiondetection_tpu.ops.p2p_sorted import (
+        p2p_collide_sorted,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 96
+    pos = rng.uniform(0.5, 7.5, size=(n, 3)).astype(F)
+    vel = (rng.normal(size=(n, 3)) * 2).astype(F)
+    radius = rng.uniform(0.15, 0.3, size=n).astype(F)
+    rest = rng.uniform(0.2, 0.8, size=n).astype(F)
+    ref_pos, ref_vel, ref_ct = brute_force_p2p(pos, vel, radius, rest)
+    meta = pg.make_meta((0, 0, 0), (8, 8, 8), cell_size=0.6, capacity=16)
+    out, overflow = p2p_collide_sorted(_state(pos, vel, radius, rest), meta)
+    assert int(overflow) == 0
+    np.testing.assert_array_equal(np.asarray(out.collisions), ref_ct)
+    np.testing.assert_allclose(np.asarray(out.pos).T, ref_pos, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.vel).T, ref_vel, rtol=1e-4, atol=1e-5)
+
+
+def test_p2p_sorted_boundary_and_outside_particles():
+    """Particles at and OUTSIDE the grid box (clamped cells): boundary
+    z-runs wrap into neighboring y-rows and out-of-box particles pile into
+    border cells -- the distance test must keep results exact anyway."""
+    from particlesystemhybridcollisiondetection_tpu.ops.p2p_sorted import (
+        p2p_collide_sorted,
+    )
+
+    rng = np.random.default_rng(6)
+    n = 128
+    # straddle all box faces, with clusters outside
+    pos = rng.uniform(-1.5, 5.5, size=(n, 3)).astype(F)
+    pos[:16] = rng.uniform(-2.0, -1.2, size=(16, 3))  # cluster below origin
+    vel = (rng.normal(size=(n, 3)) * 2).astype(F)
+    radius = rng.uniform(0.1, 0.25, size=n).astype(F)
+    rest = np.full(n, 0.5, dtype=F)
+    ref_pos, ref_vel, ref_ct = brute_force_p2p(pos, vel, radius, rest)
+    meta = pg.make_meta((0, 0, 0), (4, 4, 4), cell_size=0.5, capacity=64)
+    out, _ = p2p_collide_sorted(_state(pos, vel, radius, rest), meta)
+    np.testing.assert_array_equal(np.asarray(out.collisions), ref_ct)
+    np.testing.assert_allclose(np.asarray(out.pos).T, ref_pos, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.vel).T, ref_vel, rtol=1e-4, atol=1e-5)
+
+
+def test_p2p_sorted_dense_cell_exact():
+    """Many particles in ONE cell: the slot table would saturate; the
+    sorted CSR runs must handle it exactly (no dropped contacts)."""
+    from particlesystemhybridcollisiondetection_tpu.ops.p2p_sorted import (
+        p2p_collide_sorted,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 64
+    pos = (rng.uniform(2.0, 2.4, size=(n, 3))).astype(F)  # all in one cell
+    vel = (rng.normal(size=(n, 3)) * 1).astype(F)
+    radius = np.full(n, 0.12, dtype=F)
+    rest = np.full(n, 0.5, dtype=F)
+    ref_pos, ref_vel, ref_ct = brute_force_p2p(pos, vel, radius, rest)
+    meta = pg.make_meta((0, 0, 0), (8, 8, 8), cell_size=0.5, capacity=4)
+    out, overflow = p2p_collide_sorted(_state(pos, vel, radius, rest), meta)
+    assert int(overflow) == 0
+    assert int(np.asarray(out.collisions).sum()) == int(ref_ct.sum()) > 0
+    np.testing.assert_allclose(np.asarray(out.pos).T, ref_pos, rtol=1e-5, atol=1e-5)
+
+
+def test_p2p_sorted_sentinel_particles_inert():
+    """Sentinel (inactive) particles neither move nor collide."""
+    from particlesystemhybridcollisiondetection_tpu.core.state import active_mask
+    from particlesystemhybridcollisiondetection_tpu.ops.p2p_sorted import (
+        p2p_collide_sorted,
+    )
+
+    rng = np.random.default_rng(8)
+    n = 64
+    pos = rng.uniform(0.5, 3.5, size=(n, 3)).astype(F)
+    pos[48:] = 1e38  # sentinels
+    vel = (rng.normal(size=(n, 3)) * 2).astype(F)
+    radius = np.full(n, 0.2, dtype=F)
+    rest = np.full(n, 0.5, dtype=F)
+    s = _state(pos, vel, radius, rest)
+    meta = pg.make_meta((0, 0, 0), (4, 4, 4), cell_size=0.5, capacity=16)
+    out, _ = p2p_collide_sorted(s, meta, active=active_mask(s))
+    live_pos, live_vel, live_ct = brute_force_p2p(
+        pos[:48], vel[:48], radius[:48], rest[:48]
+    )
+    np.testing.assert_array_equal(np.asarray(out.collisions[48:]), 0)
+    np.testing.assert_allclose(np.asarray(out.pos[:, 48:]).T, pos[48:])
+    np.testing.assert_array_equal(np.asarray(out.collisions[:48]), live_ct)
+    np.testing.assert_allclose(np.asarray(out.pos[:, :48]).T, live_pos, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.vel[:, :48]).T, live_vel, rtol=1e-4, atol=1e-5)
+
+
+def test_p2p_sorted_momentum_conserved():
+    from particlesystemhybridcollisiondetection_tpu.ops.p2p_sorted import (
+        p2p_collide_sorted,
+    )
+
+    rng = np.random.default_rng(9)
+    n = 256
+    pos = rng.uniform(0, 3, size=(n, 3)).astype(F)
+    vel = (rng.normal(size=(n, 3)) * 3).astype(F)
+    radius = rng.uniform(0.2, 0.35, size=n).astype(F)
+    rest = np.full(n, 0.9, dtype=F)
+    meta = pg.make_meta((-1, -1, -1), (4, 4, 4), cell_size=0.7, capacity=32)
+    s0 = _state(pos, vel, radius, rest)
+    out, _ = p2p_collide_sorted(s0, meta)
+    m = radius**3
+    p_before = (m[None] * np.asarray(s0.vel)).sum(axis=1)
+    p_after = (m[None] * np.asarray(out.vel)).sum(axis=1)
+    np.testing.assert_allclose(p_after, p_before, rtol=1e-3, atol=1e-3)
+
+
+def test_p2p_window_kernel_matches_bruteforce_interpret():
+    """The Pallas 9-run block-window kernel (the TPU p2p path), in
+    interpret mode, against the O(N^2) oracle -- incl. its chunked exact
+    fallback forced by a tiny window."""
+    from particlesystemhybridcollisiondetection_tpu.ops.p2p_sorted import (
+        p2p_collide_window,
+    )
+
+    rng = np.random.default_rng(10)
+    n = 192
+    pos = rng.uniform(0.5, 7.5, size=(n, 3)).astype(F)
+    vel = (rng.normal(size=(n, 3)) * 2).astype(F)
+    radius = rng.uniform(0.15, 0.3, size=n).astype(F)
+    rest = rng.uniform(0.2, 0.8, size=n).astype(F)
+    ref_pos, ref_vel, ref_ct = brute_force_p2p(pos, vel, radius, rest)
+    meta = pg.make_meta((0, 0, 0), (8, 8, 8), cell_size=0.6, capacity=16)
+    s = _state(pos, vel, radius, rest)
+
+    out, n_over = p2p_collide_window(s, meta, interpret=True)
+    assert int(n_over) == 0
+    np.testing.assert_array_equal(np.asarray(out.collisions), ref_ct)
+    np.testing.assert_allclose(np.asarray(out.pos).T, ref_pos, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.vel).T, ref_vel, rtol=1e-4, atol=1e-5)
+
+    # window too small for the spread of runs in one 1024-block: particles
+    # overflow and must be redone EXACTLY by the chunked fallback
+    out2, n_over2 = p2p_collide_window(s, meta, window=128, interpret=True)
+    assert int(n_over2) > 0
+    np.testing.assert_array_equal(np.asarray(out2.collisions), ref_ct)
+    np.testing.assert_allclose(np.asarray(out2.pos).T, ref_pos, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out2.vel).T, ref_vel, rtol=1e-4, atol=1e-5)
+
+
+def test_p2p_window_kernel_sentinels_and_multiblock_interpret():
+    """>1 block (n > 1024) with sentinel particles: block windows are
+    per-block, sentinels park in the pseudo-cell and stay inert."""
+    from particlesystemhybridcollisiondetection_tpu.core.state import active_mask
+    from particlesystemhybridcollisiondetection_tpu.ops.p2p_sorted import (
+        p2p_collide_sorted,
+        p2p_collide_window,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 1400
+    pos = rng.uniform(0.0, 6.0, size=(n, 3)).astype(F)
+    pos[1340:] = 1e38  # sentinels
+    vel = (rng.normal(size=(n, 3)) * 2).astype(F)
+    radius = np.full(n, 0.15, dtype=F)
+    rest = np.full(n, 0.5, dtype=F)
+    s = _state(pos, vel, radius, rest)
+    meta = pg.make_meta((0, 0, 0), (6, 6, 6), cell_size=0.4, capacity=16)
+    act = active_mask(s)
+
+    ref, _ = p2p_collide_sorted(s, meta, active=act)
+    out, _ = p2p_collide_window(s, meta, active=act, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(out.collisions), np.asarray(ref.collisions)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.pos), np.asarray(ref.pos), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.vel), np.asarray(ref.vel), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(out.pos[:, 1340:]).T, pos[1340:])

@@ -287,3 +287,65 @@ def test_persistent_episode_runner_matches_per_step():
         np.asarray(r.pos)[:, mask], np.asarray(s.pos)[:, mask], rtol=1e-6, atol=1e-7
     )
     assert int(np.asarray(s.collisions)[mask].sum()) > 0
+
+
+def test_sorted_sharded_matches_single_device():
+    """VERDICT r1 #6: the sorted Pallas pipeline under an 8-device mesh
+    (per-shard sort inside shard_map, replicated tables) must reproduce
+    the single-device sorted step exactly -- the sort order is a locality
+    optimization, so resorting per shard cannot change any particle's
+    candidate set or response."""
+    import jax
+    from jax.sharding import Mesh
+
+    scene = _fast_scene()
+    cfg = scene.config
+    state = spawn_grid(cfg, layers_y=1, pad_multiple=8 * 1024)
+    assert state.pos.shape[-1] % (8 * 1024) == 0
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+
+    single = make_spatial_step_sorted(
+        scene.triangles, cfg, interpret=True, with_stats=True
+    )
+    sharded = make_spatial_step_sorted(
+        scene.triangles, cfg, interpret=True, with_stats=True, mesh=mesh
+    )
+
+    s_ref = s_sh = state
+    for k in range(3):
+        s_ref, st_ref = single(s_ref)
+        s_sh, st_sh = sharded(s_sh)
+        np.testing.assert_array_equal(
+            np.asarray(s_sh.collisions), np.asarray(s_ref.collisions)
+        )
+        np.testing.assert_array_equal(np.asarray(s_sh.pos), np.asarray(s_ref.pos))
+        np.testing.assert_array_equal(np.asarray(s_sh.vel), np.asarray(s_ref.vel))
+        assert int(st_sh["window_overflow"]) == int(st_ref["window_overflow"])
+
+
+def test_hybrid_sorted_sharded_matches_single_device():
+    from particlesystemhybridcollisiondetection_tpu.core.step import (
+        make_hybrid_step_sorted,
+    )
+    import jax
+    from jax.sharding import Mesh
+
+    scene = _fast_scene()
+    cfg = scene.config
+    cam = scene.cameras[0]
+    state = spawn_grid(cfg, layers_y=1, pad_multiple=8 * 1024)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+
+    single = make_hybrid_step_sorted(scene.triangles, cfg, cam, interpret=True)
+    sharded = make_hybrid_step_sorted(
+        scene.triangles, cfg, cam, interpret=True, mesh=mesh
+    )
+    # advance a bit so the screen-space stage has real work, then compare
+    s = state
+    for _ in range(40):
+        s = single(s)
+    a = single(s)
+    b = sharded(s)
+    np.testing.assert_array_equal(np.asarray(b.collisions), np.asarray(a.collisions))
+    np.testing.assert_array_equal(np.asarray(b.pos), np.asarray(a.pos))
+    np.testing.assert_array_equal(np.asarray(b.vel), np.asarray(a.vel))
