@@ -58,17 +58,26 @@ def _box_state(n, box_lo, box_hi, radius, restitution, seed=0, hetero=False):
 
 
 def _time_steps(step, state, steps, chunk=50):
+    """Python-loop dispatch, fenced per chunk.
+
+    Deliberately NOT lax.fori_loop (make_episode_runner): fori-wrapping
+    compiles the step body 4.7x slower on TPU, and for the p2p kernel
+    variant it would re-fuse the two deliberately separate programs into
+    the monolithic form that crashes the TPU worker at 1M (see
+    p2p_window_phase1).
+    """
     from particlesystemhybridcollisiondetection_tpu.utils.profiling import fence
 
     state = step(state)
     fence(state.pos)
-    runner = make_episode_runner(step, chunk)
     t0 = time.perf_counter()
     done = 0
     while done < steps:
-        state = runner(state)
-        done += chunk
-    fence(state.pos)  # readback fence: block_until_ready lies on axon
+        k = min(chunk, steps - done)
+        for _ in range(k):
+            state = step(state)
+        done += k
+        fence(state.pos)  # readback fence: block_until_ready lies on axon
     dt = time.perf_counter() - t0
     return state, done / dt, dt
 

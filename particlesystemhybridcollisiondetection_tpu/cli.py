@@ -185,11 +185,14 @@ def cmd_p2pbox(args) -> int:
 
     state = step(state)
     jax.block_until_ready(state.pos)
-    runner = make_episode_runner(step, 50)
+    # Python-loop dispatch, not make_episode_runner: fori-wrapping would
+    # re-fuse the p2p kernel variant's two deliberately separate programs
+    # (see p2p_window_phase1) and compiles 4.7x slower on TPU anyway
     t0 = time.perf_counter()
     done = 0
     while done < args.steps:
-        state = runner(state)
+        for _ in range(50):
+            state = step(state)
         jax.block_until_ready(state.pos)
         done += 50
     dt_s = time.perf_counter() - t0

@@ -334,11 +334,18 @@ def make_screenspace_step(
     tex = bake_camera(triangles, camera, normals)
     gravity = jnp.asarray(cfg.gravity, dtype=jnp.float32)
 
+    # tex enters as a traced ARGUMENT: closure capture embeds the ~33 MB
+    # 1080p depth/normal textures as compile-time constants -- 25-59 MB
+    # executables, minutes of remote compile, and a fresh compile per
+    # camera (observed in the protocol run 2026-08-17)
     @jax.jit
-    def step(state: ParticleState) -> ParticleState:
+    def _step(state: ParticleState, tex) -> ParticleState:
         state, _ = screen_space_collide(state, tex, gravity, cfg.dt)
         new_pos, new_vel = integrate(state.pos, state.vel, gravity, cfg.dt)
         return state._replace(pos=new_pos, vel=new_vel)
+
+    def step(state: ParticleState) -> ParticleState:
+        return _step(state, tex)
 
     return step
 
@@ -369,8 +376,10 @@ def make_hybrid_step(triangles, cfg: SimConfig, camera, normals=None) -> StepFn:
     packed, num_groups = pack_grid(grid, meta, group=group)
     gravity = jnp.asarray(cfg.gravity, dtype=jnp.float32)
 
+    # tex/packed as traced args, not closure constants (see
+    # make_screenspace_step): one compile serves every camera
     @jax.jit
-    def step(state: ParticleState) -> ParticleState:
+    def _step(state: ParticleState, tex, packed) -> ParticleState:
         state, undecided = screen_space_collide(
             state, tex, gravity, cfg.dt, hybrid=True
         )
@@ -380,6 +389,9 @@ def make_hybrid_step(triangles, cfg: SimConfig, camera, normals=None) -> StepFn:
         )
         new_pos, new_vel = integrate(state.pos, state.vel, gravity, cfg.dt)
         return state._replace(pos=new_pos, vel=new_vel)
+
+    def step(state: ParticleState) -> ParticleState:
+        return _step(state, tex, packed)
 
     return step
 
@@ -1126,7 +1138,10 @@ def make_episode_runner(step: StepFn, num_steps: int) -> Callable[[ParticleState
     NOTE: convenient for small states/tests, but on TPU the fori-wrapped
     Pallas step was measured 4.7x slower than dispatching the jitted step
     from Python (XLA compiles the loop body more conservatively); the
-    benchmark harness dispatches from Python for that reason.
+    benchmark harness dispatches from Python for that reason.  Do NOT wrap
+    make_p2p_step's kernel variant: tracing re-fuses its two deliberately
+    separate programs into the monolithic form that crashes the TPU
+    worker at 1M (see ops.p2p_sorted.p2p_window_phase1).
     """
 
     @jax.jit

@@ -46,15 +46,41 @@ class CameraTextures(NamedTuple):
         return self.depth.shape  # (H, W)
 
 
+_BAKE_CACHE: dict = {}
+
+
 def bake_camera(
     triangles: np.ndarray, cam: Camera, corner_normals: np.ndarray = None
 ) -> CameraTextures:
     """One-time pre-pass for a static scene + camera (the analog of
     DepthPrePass/NormalPrePass, run per frame in the reference but
     invariant here).  ``corner_normals`` enables the reference's smooth
-    vertex-normal interpolation (NormalPrePass.shader:35-38)."""
+    vertex-normal interpolation (NormalPrePass.shader:35-38).
+
+    Memoized on (scene arrays' identity, camera): the host rasterization
+    of a benchmark scene at 1080p costs ~a minute, and the protocol
+    harness builds a step per (method, camera, run, particle-count) --
+    80 bakes of the same 4 textures without the cache.
+    """
+    tris = np.asarray(triangles)
+    key = (
+        # id() alone can be reused after GC; shape + content checksum
+        # guards against stale hits
+        id(triangles),
+        tris.shape,
+        float(tris.sum()) if tris.size else 0.0,
+        None if corner_normals is None else id(corner_normals),
+        cam.name,
+        cam.width,
+        cam.height,
+        tuple(np.asarray(cam.position).tolist()),
+        tuple(tuple(r) for r in np.asarray(cam.view_matrix()).tolist()),
+    )
+    hit = _BAKE_CACHE.get(key)
+    if hit is not None:
+        return hit
     depth, normal = rasterize_depth_normal(triangles, cam, corner_normals)
-    return CameraTextures(
+    tex = CameraTextures(
         view=jnp.asarray(cam.view_matrix(), dtype=jnp.float32),
         proj=jnp.asarray(cam.projection_matrix(), dtype=jnp.float32),
         cam_pos=jnp.asarray(cam.position, dtype=jnp.float32),
@@ -62,6 +88,8 @@ def bake_camera(
         depth=jnp.asarray(depth),
         normal=jnp.asarray(normal),
     )
+    _BAKE_CACHE[key] = tex
+    return tex
 
 
 def screen_space_collide(
