@@ -368,14 +368,11 @@ def p2p_window_phase1(
     rel = jnp.clip(rel, 0, w - 1)
 
     rows_pad = jnp.concatenate([rows_s, _pad_columns(w)], axis=1)
-    rows_rep = jnp.broadcast_to(
-        rows_pad[:, None, :], (8, 8, rows_pad.shape[-1])
-    )  # sublane-replicated for the kernel's in-register dynamic_gather
     pos_s, vel_s = rows_s[0:3], rows_s[3:6]
     radius_s, restit_s = rows_s[6], rows_s[7]
 
     pos_k, vel_k, ncon_k = p2p_window_collide_sorted(
-        pos_s, vel_s, radius_s, restit_s, rows_rep, rel, cnt,
+        pos_s, vel_s, radius_s, restit_s, rows_pad, rel, cnt,
         ws.T, k_cap.T, w=w, beta=beta, interpret=interpret,
     )
     return pos_k, vel_k, ncon_k, rows_s, starts, cnt, overflow, perm

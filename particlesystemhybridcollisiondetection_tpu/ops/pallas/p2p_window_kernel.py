@@ -22,12 +22,14 @@ iteration into VMEM, exactly like the static-geometry window kernel
   Kernel (per block):
     a fori_loop over the nine (dx, dy) groups: DMA the group's
     sorted-particle window [8, W] (pos3/vel3/radius/restitution rows,
-    sublane-replicated) into VMEM, then a dynamic-bound candidate loop of
+    natural layout), MXU-replicate it across sublanes (see the
+    ``rep`` matmul), then a dynamic-bound candidate loop of
     in-register dynamic_gathers + the exact sphere-sphere contact model,
     accumulating impulse dv, positional correction dp, and contact counts.
-    (The loop is rolled, not unrolled, and the DMA single-buffered: the
-    9x-unrolled double-buffered form compiled 15-25 min remotely and
-    repeatedly crashed the TPU worker mid-compile.)
+    All nine DMAs are issued up front into separate VMEM slots (latency
+    hiding) but the group loop is ROLLED, not unrolled: the 9x-unrolled
+    form compiled 15-25 min remotely and repeatedly crashed the TPU
+    worker mid-compile.
 
 The contact model matches ops/p2p.py (documented there; capability
 extension over the reference, whose particles never interact).  Run
@@ -40,6 +42,7 @@ from __future__ import annotations
 import functools
 
 import jax
+
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -65,22 +68,33 @@ def _p2p_kernel(
     restit_ref,  # f32[8, 128]
     rel_ref,  # i32[9, 8, 128] own run start - window start, per group
     cnt_ref,  # i32[9, 8, 128] run length, per group
-    rows_hbm,  # f32[8, 8, N_pad] sorted rows, sublane-replicated (Mosaic
-    #            cannot legalize an in-register [1, W] -> [8, W] sublane
-    #            broadcast of a VMEM slice, so the replication happens in
-    #            XLA; ~0.3 ms of bandwidth at 1M)
+    rows_hbm,  # f32[8, N_pad] sorted rows (pos3/vel3/radius/restitution
+    #            on the sublanes; natural layout, NOT pre-replicated)
     # outputs
     pos_out,  # f32[3, 8, 128] pos + beta-correction
     vel_out,  # f32[3, 8, 128] vel + impulses
     ncon_out,  # i32[8, 128]
     # scratch
-    win_ref,  # f32[8, 8, W] window (row-replicated)
-    sem,  # DMA semaphore
+    win_ref,  # f32[9, 8, W] one window slot per group
+    sem,  # DMA semaphores [9]
     *,
     w: int,
     beta: float,
 ):
     b = pl.program_id(0)
+
+    def dma(g, slot):
+        ws_a = pl.multiple_of(ws_ref[b, g], LANE)
+        return pltpu.make_async_copy(
+            rows_hbm.at[:, pl.ds(ws_a, w)], win_ref.at[slot], sem.at[slot]
+        )
+
+    # ALL nine window DMAs start up front: issued back-to-back they
+    # overlap each other and the early groups' candidate loops, hiding
+    # the per-DMA latency that dominated the serialized form (9 waits x
+    # ~1000 blocks of a ~64 KB copy each)
+    for g0 in range(N_GROUPS):
+        dma(g0, g0).start()
 
     pos = pos_ref[:]
     vel = vel_ref[:]
@@ -101,19 +115,31 @@ def _p2p_kernel(
     # mid-compile (2026-08, v5e via axon).  Everything the group body
     # needs is indexable by the loop counter (rel/cnt rows, scalar window
     # start / k_cap), so the rolled form is semantically identical.
+    # sublane-replication matrix: rep[8c+s, c] = 1, so rep @ win ([8, W])
+    # yields [64, W] where rows 8c..8c+7 all equal component row c.
+    # Mosaic cannot legalize a [1, W] -> [8, W] sublane broadcast, but the
+    # MXU does it for free (~1M MACs per group-block); this keeps the HBM
+    # window at its natural [8, W] (the pre-replicated [8, 8, W] form
+    # cost 8x the DMA traffic and an [8, 8, N] materialization per step).
+    rep = (
+        jax.lax.broadcasted_iota(jnp.int32, (64, 8), 0) // 8
+        == jax.lax.broadcasted_iota(jnp.int32, (64, 8), 1)
+    ).astype(jnp.float32)  # [64, 8]; built in-kernel (pallas forbids
+    #                        captured array constants)
+
     def group_body(g, acc):
         dv, dp, ncon = acc
         ws_g = ws_ref[b, g]
-        ws_a = pl.multiple_of(ws_g, LANE)
-        cp = pltpu.make_async_copy(
-            rows_hbm.at[:, :, pl.ds(ws_a, w)], win_ref, sem
-        )
-        cp.start()
-        cp.wait()
+        dma(g, g).wait()
         rel = rel_ref[g]
         cnt = cnt_ref[g]
         k_cap = kcap_ref[b, g]
-        tabs = [win_ref[c] for c in range(8)]  # [8, W] replicated rows
+        tabs8 = jax.lax.dot_general(
+            rep, win_ref[g],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [64, W]
+        tabs = [tabs8[8 * c : 8 * c + 8] for c in range(8)]  # [8, W] each
 
         def body(k, acc):
             dv, dp, ncon = acc
@@ -177,7 +203,7 @@ def p2p_window_collide_sorted(
     vel_s,
     radius_s,
     restit_s,
-    rows_rep,  # f32[8, 8, N + W] sorted rows, sublane-replicated, W pad cols
+    rows_pad,  # f32[8, N + W] sorted rows, W pad cols
     rel,  # i32[9, N]
     cnt,  # i32[9, N]
     ws,  # i32[NB, 9]
@@ -211,8 +237,8 @@ def p2p_window_collide_sorted(
             pl.BlockSpec((SUB, LANE), lambda b, *_: (b, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((8, SUB, w), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((N_GROUPS, SUB, w), jnp.float32),
+            pltpu.SemaphoreType.DMA((N_GROUPS,)),
         ],
     )
     kern = functools.partial(_p2p_kernel, w=w, beta=beta)
@@ -241,6 +267,6 @@ def p2p_window_collide_sorted(
         shape2(restit_s),
         shape3(rel),
         shape3(cnt),
-        rows_rep,
+        rows_pad,
     )
     return pos_o.reshape(3, n), vel_o.reshape(3, n), ncon_o.reshape(n)
