@@ -61,6 +61,7 @@ def main():
     from particlesystemhybridcollisiondetection_tpu.ops.grid import (
         build_triangle_grid,
         cell_index,
+        morton_key,
     )
     from particlesystemhybridcollisiondetection_tpu.ops.pallas.window_kernel import (
         BLOCK,
@@ -106,12 +107,20 @@ def main():
     print(f"cell_index:        {timeit(stage_cid, pos):6.2f} ms")
 
     @jax.jit
-    def stage_sort(cid):
-        ids = jnp.arange(n, dtype=jnp.int32)
-        return jax.lax.sort((cid, ids), num_keys=1)
+    def stage_key(pos):
+        return morton_key(pos, meta)
 
-    cid_s, perm = stage_sort(cid)
-    print(f"sort (cid, ids):   {timeit(stage_sort, cid):6.2f} ms")
+    key = stage_key(pos)
+    print(f"morton_key:        {timeit(stage_key, pos):6.2f} ms")
+
+    @jax.jit
+    def stage_sort(key, cid):
+        ids = jnp.arange(n, dtype=jnp.int32)
+        _, cid_s, perm = jax.lax.sort((key, cid, ids), num_keys=1)
+        return cid_s, perm
+
+    cid_s, perm = stage_sort(key, cid)
+    print(f"sort (key,cid,ids): {timeit(stage_sort, key, cid):6.2f} ms")
 
     @jax.jit
     def stage_permute(pos, vel, r, e, perm):
@@ -128,21 +137,11 @@ def main():
     info2 = stage_cells(tables.cells2, cid_s)
     print(f"cells gather [2,N] planar: {timeit(stage_cells, tables.cells2, cid_s):6.2f} ms")
 
+    from particlesystemhybridcollisiondetection_tpu.core.step import _window_plan
+
     @jax.jit
     def stage_plan(cid_s, info2):
-        start, count = info2[0], info2[1]
-        sb = jnp.where(count > 0, start, jnp.int32(1 << 30)).reshape(nb, BLOCK)
-        cb = count.reshape(nb, BLOCK)
-        big = jnp.int32(1 << 30)
-        ws = jnp.min(jnp.where(cb > 0, sb, big), axis=1)
-        ws = jnp.where(ws == big, 0, ws)
-        ws = (ws // 128) * 128
-        k_cap = jnp.max(cb, axis=1)
-        rel = start - jnp.broadcast_to(ws[:, None], (nb, BLOCK)).reshape(n)
-        rel = jnp.where(count > 0, rel, 0)
-        overflow = (count > 0) & ((rel < 0) | (rel + count > window))
-        rel = jnp.clip(rel, 0, window - 1)
-        return rel, count, ws, k_cap, overflow
+        return _window_plan(cid_s, tables.cells2, window, nb)
 
     rel, count, ws, k_cap, overflow = stage_plan(cid_s, info2)
     print(f"window plan:       {timeit(stage_plan, cid_s, info2):6.2f} ms")

@@ -237,8 +237,23 @@ def spatial_collide_packed(
         jnp.zeros((3, n), dtype=pos.dtype),
         jnp.zeros((n,), dtype=bool),
     )
-    best_t2, best_t, best_n, any_hit = jax.lax.fori_loop(
-        0, num_groups, body, init
+    # adaptive trip count: only iterate to the densest cell actually
+    # OCCUPIED by these particles (num_groups = ceil(K_max/group) is the
+    # static worst case; when this runs as the window kernel's overflow
+    # fallback the chunk's particles rarely touch the global-max cell)
+    g_bound = jnp.minimum(
+        (jnp.max(count) + group - 1) // group, num_groups
+    ).astype(jnp.int32)
+
+    def g_cond(c):
+        return c[0] < g_bound
+
+    def g_body(c):
+        g, acc = c
+        return g + 1, body(g, acc)
+
+    _, (best_t2, best_t, best_n, any_hit) = jax.lax.while_loop(
+        g_cond, g_body, (jnp.int32(0), init)
     )
 
     hit = any_hit & (best_t2 < jnp.inf) & (speed2 != 0.0)
@@ -508,15 +523,19 @@ def make_p2p_step(
 
 
 def _window_plan(cid_s, cells2, window: int, nb: int, active_s=None):
-    """Per-block window geometry for the sorted kernel.
+    """Per-SUBLANE window geometry for the sorted kernel.
 
-    Returns (rel, count, ws, k_cap, overflow): each particle's CSR range
-    relative to its block's window start, plus the bool[N] mask of
-    particles whose candidate rows do not fit the window (handled exactly
-    by the chunked fallback).
+    Each row of 128 sorted particles gets its own window (round 1 used
+    one per 1024-particle block; dense scenes overflowed it -- see
+    window_kernel.py step 3).  Returns (rel, count, ws, k_cap, overflow):
+    each particle's CSR range relative to its own sublane's window start
+    (ws: i32[nb, 8]), the per-block candidate loop bound, and the bool[N]
+    mask of particles whose candidate rows do not fit their window
+    (handled exactly by the chunked fallback).
     """
     from particlesystemhybridcollisiondetection_tpu.ops.pallas.window_kernel import (
-        BLOCK,
+        LANE,
+        SUB,
     )
 
     n = cid_s.shape[0]
@@ -528,24 +547,25 @@ def _window_plan(cid_s, cells2, window: int, nb: int, active_s=None):
     count = info[1]
     if active_s is not None:
         count = jnp.where(active_s, count, 0)  # decided -> no candidates
-    sb = jnp.where(count > 0, start, jnp.int32(1 << 30)).reshape(nb, BLOCK)
-    cb = count.reshape(nb, BLOCK)
     big = jnp.int32(1 << 30)
-    ws = jnp.min(jnp.where(cb > 0, sb, big), axis=1)
+    sb = jnp.where(count > 0, start, big).reshape(nb * SUB, LANE)
+    cb = count.reshape(nb * SUB, LANE)
+    ws = jnp.min(sb, axis=1)
     ws = jnp.where(ws == big, 0, ws)
     ws = (ws // 128) * 128  # HBM DMA slices must be lane-aligned
-    k_cap = jnp.max(cb, axis=1)
-    rel = start - jnp.broadcast_to(ws[:, None], (nb, BLOCK)).reshape(n)
+    k_cap = jnp.max(cb.reshape(nb, SUB * LANE), axis=1)
+    rel = start - jnp.broadcast_to(ws[:, None], (nb * SUB, LANE)).reshape(n)
     rel = jnp.where(count > 0, rel, 0)
     overflow = (count > 0) & ((rel < 0) | (rel + count > window))
     rel = jnp.clip(rel, 0, window - 1)
-    return rel, count, ws, k_cap, overflow
+    return rel, count, ws.reshape(nb, SUB), k_cap, overflow
 
 
 def _chunked_fallback(
     kernel_out,
     sorted_state,
     overflow,
+    count,
     packed,
     meta,
     num_groups: int,
@@ -573,7 +593,11 @@ def _chunked_fallback(
     n = pos_s.shape[-1]
     m_eff = min(m_cap, n)
     n_over = jnp.sum(overflow.astype(jnp.int32))
-    ord2 = jnp.argsort(jnp.logical_not(overflow), stable=True)
+    # overflow first, densest cells first within overflow: each chunk's
+    # adaptive group bound (spatial_collide_packed) then only pays for
+    # the candidate counts actually present in that chunk
+    key = jnp.where(overflow, -count, jnp.int32(1 << 30))
+    ord2 = jnp.argsort(key, stable=True)
 
     def chunk_cond(carry):
         c, _, _, _ = carry
@@ -642,6 +666,7 @@ def make_hybrid_step_sorted(
     from particlesystemhybridcollisiondetection_tpu.ops.grid import (
         build_triangle_grid,
         cell_index,
+        morton_key,
         pack_grid,
     )
     from particlesystemhybridcollisiondetection_tpu.ops.pallas.window_kernel import (
@@ -672,9 +697,13 @@ def make_hybrid_step_sorted(
         assert n % BLOCK == 0, n
         nb = n // BLOCK
 
+        # sort by MORTON key (3D-local cells stay row-adjacent in the
+        # morton-ordered pair table; see ops.grid.morton_key); cells2 is
+        # still indexed by the linear cell id
         cid = cell_index(pos, meta)
+        key = morton_key(pos, meta)
         ids = jnp.arange(n, dtype=jnp.int32)
-        cid_s, perm = jax.lax.sort((cid, ids), num_keys=1)
+        _, cid_s, perm = jax.lax.sort((key, cid, ids), num_keys=1)
         rows = jnp.concatenate(
             [pos, vel, state.radius[None], state.restitution[None],
              undecided[None].astype(jnp.float32)],
@@ -701,7 +730,8 @@ def make_hybrid_step_sorted(
         pos_k, vel_k, hit_k, n_over = _chunked_fallback(
             (pos_k, vel_k, hit_k),
             (pos_s, vel_s, radius_s, restit_s),
-            overflow, packed, meta, num_groups, group, gravity, cfg, m_cap,
+            overflow, count, packed, meta, num_groups, group, gravity, cfg,
+            m_cap,
             active_s=active_s,
         )
 
@@ -766,14 +796,15 @@ def make_method_step(
 
 
 def _auto_window(window, meta) -> int:
-    """Pick the block-window size: cover the densest cell (rounded to a
-    lane multiple), capped at 1024 rows of VMEM scratch.  Cells denser
-    than the cap rely on the exact compacted fallback every step.
+    """Pick the per-sublane window size: cover the densest cell plus one
+    lane segment of neighbor headroom (a 128-particle sublane usually
+    spans a handful of cells), capped at 2048 rows.  Cells denser than
+    the cap rely on the exact compacted fallback every step.
     """
     if window is not None:
         return window
-    want = ((meta.max_tris_per_cell + 127) // 128) * 128
-    w = max(256, min(1024, want))
+    want = ((meta.max_tris_per_cell + 127) // 128) * 128 + 128
+    w = max(256, min(2048, want))
     if meta.max_tris_per_cell > w:
         import warnings
 
@@ -820,6 +851,7 @@ def make_spatial_step_sorted(
     from particlesystemhybridcollisiondetection_tpu.ops.grid import (
         build_triangle_grid,
         cell_index,
+        morton_key,
         pack_grid,
     )
     from particlesystemhybridcollisiondetection_tpu.ops.pallas.window_kernel import (
@@ -848,9 +880,13 @@ def make_spatial_step_sorted(
         )
         nb = n // BLOCK
 
+        # sort by MORTON key (3D-local cells stay row-adjacent in the
+        # morton-ordered pair table; see ops.grid.morton_key); cells2 is
+        # still indexed by the linear cell id
         cid = cell_index(pos, meta)
+        key = morton_key(pos, meta)
         ids = jnp.arange(n, dtype=jnp.int32)
-        cid_s, perm = jax.lax.sort((cid, ids), num_keys=1)
+        _, cid_s, perm = jax.lax.sort((key, cid, ids), num_keys=1)
 
         # [8, N] layout: axis-1 gather avoids the 16x (8,128)-tile padding
         # a trailing-8 row matrix would incur
@@ -877,7 +913,8 @@ def make_spatial_step_sorted(
         pos_k, vel_k, hit_k, n_over = _chunked_fallback(
             (pos_k, vel_k, hit_k),
             (pos_s, vel_s, radius_s, restit_s),
-            overflow, packed, meta, num_groups, group, gravity, cfg, m_cap,
+            overflow, count, packed, meta, num_groups, group, gravity, cfg,
+            m_cap,
         )
 
         # --- unsort back to the caller's particle order ---
@@ -981,6 +1018,7 @@ def make_sorted_episode_runner(
     from particlesystemhybridcollisiondetection_tpu.ops.grid import (
         build_triangle_grid,
         cell_index,
+        morton_key,
         pack_grid,
     )
     from particlesystemhybridcollisiondetection_tpu.ops.pallas.window_kernel import (
@@ -1009,9 +1047,13 @@ def make_sorted_episode_runner(
         n = rows8.shape[-1]
         nb = n // BLOCK
         pos = rows8[0:3]
+        # sort by MORTON key (3D-local cells stay row-adjacent in the
+        # morton-ordered pair table; see ops.grid.morton_key); cells2 is
+        # still indexed by the linear cell id
         cid = cell_index(pos, meta)
+        key = morton_key(pos, meta)
         ids = jnp.arange(n, dtype=jnp.int32)
-        cid_s, perm = jax.lax.sort((cid, ids), num_keys=1)
+        _, cid_s, perm = jax.lax.sort((key, cid, ids), num_keys=1)
         rows_s = rows8[:, perm]
         aux_s = aux[:, perm]
         pos_s = rows_s[0:3]
@@ -1033,7 +1075,8 @@ def make_sorted_episode_runner(
         pos_k, vel_k, hit_k, n_over = _chunked_fallback(
             (pos_k, vel_k, hit_k),
             (pos_s, vel_s, radius_s, restit_s),
-            overflow, packed, meta, num_groups, group, gravity, cfg, m_cap,
+            overflow, count, packed, meta, num_groups, group, gravity, cfg,
+            m_cap,
         )
 
         # output stays in THIS step's sorted order
@@ -1068,7 +1111,8 @@ def make_sorted_episode_runner(
         pos_k, vel_k, hit_k, n_over = _chunked_fallback(
             (pos_k, vel_k, hit_k),
             (pos_s, vel_s, radius_s, restit_s),
-            overflow, packed, meta, num_groups, group, gravity, cfg, m_cap,
+            overflow, count, packed, meta, num_groups, group, gravity, cfg,
+            m_cap,
         )
 
         out8 = jnp.concatenate([pos_k, vel_k, rows8[6:8]], axis=0)
@@ -1116,6 +1160,7 @@ def sorted_step_overflow_count(triangles, cfg: SimConfig, state, window: int = 5
     from particlesystemhybridcollisiondetection_tpu.ops.grid import (
         build_triangle_grid,
         cell_index,
+        morton_key,
         pack_grid,
     )
     from particlesystemhybridcollisiondetection_tpu.ops.pallas.window_kernel import (
@@ -1127,7 +1172,10 @@ def sorted_step_overflow_count(triangles, cfg: SimConfig, state, window: int = 5
     tables = build_window_tables(grid, meta, window)
     n = state.pos.shape[-1]
     nb = n // BLOCK
-    cid_s = jnp.sort(cell_index(state.pos, meta))
+    _, cid_s = jax.lax.sort(
+        (morton_key(state.pos, meta), cell_index(state.pos, meta)),
+        num_keys=1,
+    )
     _, _, _, _, overflow = _window_plan(cid_s, tables.cells2, window, nb)
     return int(jnp.sum(overflow))
 

@@ -24,8 +24,10 @@ _failed = False
 
 def _build() -> bool:
     cmd = [
-        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        "-o", _SO, _SRC, "-lpthread",
+        # -ffp-contract=off: the grid binner's L2 prefilter must produce
+        # the bit-identical doubles as the NumPy path (no FMA contraction)
+        "g++", "-O3", "-march=native", "-ffp-contract=off", "-std=c++17",
+        "-shared", "-fPIC", "-o", _SO, _SRC, "-lpthread",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)

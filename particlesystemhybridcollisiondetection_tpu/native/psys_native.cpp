@@ -442,8 +442,12 @@ void* psys_grid_build(const float* tris_f, int64_t n_tris, double cell,
   std::vector<std::atomic<int64_t>> counts(C);
   for (auto& c : counts) c.store(0, std::memory_order_relaxed);
 
-  auto cell_range = [&](int64_t t, int64_t* clo, int64_t* chi) {
-    double tlo[3] = {1e300, 1e300, 1e300}, thi[3] = {-1e300, -1e300, -1e300};
+  auto cell_range = [&](int64_t t, int64_t* clo, int64_t* chi,
+                        double* tlo, double* thi) {
+    for (int a = 0; a < 3; a++) {
+      tlo[a] = 1e300;
+      thi[a] = -1e300;
+    }
     for (int k = 0; k < 3; k++)
       for (int a = 0; a < 3; a++) {
         double v = tris_f[t * 9 + k * 3 + a];
@@ -460,16 +464,39 @@ void* psys_grid_build(const float* tris_f, int64_t n_tris, double cell,
     }
   };
 
+  // L2 prefilter: keep (tri, cell) only when the Euclidean distance
+  // between the tri AABB and the cell box is <= expand + margin (the
+  // axis ranges above test the L-infinity distance -- a cube, ~1.9x the
+  // volume of the required ball for small triangles).  MUST stay the
+  // bit-identical double expression used by ops/grid.py (compiled with
+  // -ffp-contract=off so no FMA contraction diverges from NumPy).
+  const double ee = expand + margin;
+  const double ee2 = ee * ee;
+  auto pair_keep = [&](const double* tlo, const double* thi, int64_t x,
+                       int64_t y, int64_t z) {
+    const int64_t c[3] = {x, y, z};
+    double d2 = 0.0;
+    for (int a = 0; a < 3; a++) {
+      double box_lo = g->origin[a] + (double)c[a] * cell;
+      double box_hi = g->origin[a] + (double)(c[a] + 1) * cell;
+      double gp = std::max(std::max(tlo[a] - box_hi, box_lo - thi[a]), 0.0);
+      d2 = d2 + gp * gp;
+    }
+    return d2 <= ee2;
+  };
+
   int nt = std::max(1, n_threads);
   auto count_worker = [&](int64_t beg, int64_t end) {
     int64_t clo[3], chi[3];
+    double tlo[3], thi[3];
     for (int64_t t = beg; t < end; t++) {
-      cell_range(t, clo, chi);
+      cell_range(t, clo, chi, tlo, thi);
       for (int64_t x = clo[0]; x <= chi[0]; x++)
         for (int64_t y = clo[1]; y <= chi[1]; y++)
           for (int64_t z = clo[2]; z <= chi[2]; z++)
-            counts[(x * g->dims[1] + y) * g->dims[2] + z].fetch_add(
-                1, std::memory_order_relaxed);
+            if (pair_keep(tlo, thi, x, y, z))
+              counts[(x * g->dims[1] + y) * g->dims[2] + z].fetch_add(
+                  1, std::memory_order_relaxed);
     }
   };
   {
@@ -488,11 +515,13 @@ void* psys_grid_build(const float* tris_f, int64_t n_tris, double cell,
     cursor[c].store(g->offsets[c], std::memory_order_relaxed);
   auto fill_worker = [&](int64_t beg, int64_t end) {
     int64_t clo[3], chi[3];
+    double tlo[3], thi[3];
     for (int64_t t = beg; t < end; t++) {
-      cell_range(t, clo, chi);
+      cell_range(t, clo, chi, tlo, thi);
       for (int64_t x = clo[0]; x <= chi[0]; x++)
         for (int64_t y = clo[1]; y <= chi[1]; y++)
           for (int64_t z = clo[2]; z <= chi[2]; z++) {
+            if (!pair_keep(tlo, thi, x, y, z)) continue;
             int64_t c = (x * g->dims[1] + y) * g->dims[2] + z;
             g->tri_ids[cursor[c].fetch_add(1, std::memory_order_relaxed)] =
                 (int32_t)t;

@@ -114,7 +114,35 @@ def build_triangle_grid(
     cx = lo[pair_tri, 0] + dx
     cy = lo[pair_tri, 1] + dy
     cz = lo[pair_tri, 2] + dz
-    cell = (cx * dims[1] + cy) * dims[2] + cz
+
+    # L2 prefilter: keep a (tri, cell) pair only when the EUCLIDEAN
+    # distance between the triangle's AABB and the cell box is <= expand
+    # (+ margin).  The axis-range enumeration above implicitly tests the
+    # L-infinity distance, which keeps every cell in the CUBE of radius
+    # ``expand`` around the triangle; the correctness invariant (a
+    # particle in cell c must see every triangle within ``expand`` of any
+    # point of c, see the module docstring) only requires the BALL.  For
+    # the small triangles of dense scanned meshes this cuts ~45% of pairs
+    # (dragon scene: mean cell occupancy 33 -> ~18).  dist(AABB(tri),
+    # box) <= dist(tri, box), so the filter is conservative.  The native
+    # binner implements the identical double-precision expression
+    # (bit-identical CSR tables, asserted by tests/test_native.py).
+    tlo = tris.min(axis=1)  # [T, 3] raw (uninflated) AABB
+    thi = tris.max(axis=1)
+    ee = r + margin
+    d2 = np.zeros(p_total, dtype=np.float64)
+    for a, ca in ((0, cx), (1, cy), (2, cz)):
+        box_lo = origin[a] + ca * h
+        box_hi = origin[a] + (ca + 1) * h
+        g = np.maximum(
+            np.maximum(tlo[pair_tri, a] - box_hi, box_lo - thi[pair_tri, a]),
+            0.0,
+        )
+        d2 = d2 + g * g
+    keep = d2 <= ee * ee
+    pair_tri = pair_tri[keep]
+    cell = (cx[keep] * dims[1] + cy[keep]) * dims[2] + cz[keep]
+    p_total = int(keep.sum())
 
     order = np.argsort(cell, kind="stable")
     cell_sorted = cell[order]
@@ -247,8 +275,8 @@ def pack_grid(grid: TriangleGrid, meta: GridMeta, group: int = 8):
     return packed, max(num_groups_max, 1)
 
 
-def cell_index(pos: jnp.ndarray, meta: GridMeta) -> jnp.ndarray:
-    """i32[N] linear cell id for particle positions [3, N] (clamped)."""
+def cell_coords(pos: jnp.ndarray, meta: GridMeta):
+    """(cx, cy, cz) i32[N] clamped cell coordinates for positions [3, N]."""
     origin = jnp.asarray(meta.origin, dtype=pos.dtype)
     inv_h = 1.0 / meta.cell_size
     dims = meta.dims
@@ -257,7 +285,58 @@ def cell_index(pos: jnp.ndarray, meta: GridMeta) -> jnp.ndarray:
     cx = jnp.clip(c[0], 0, dims[0] - 1).astype(jnp.int32)
     cy = jnp.clip(c[1], 0, dims[1] - 1).astype(jnp.int32)
     cz = jnp.clip(c[2], 0, dims[2] - 1).astype(jnp.int32)
+    return cx, cy, cz
+
+
+def cell_index(pos: jnp.ndarray, meta: GridMeta) -> jnp.ndarray:
+    """i32[N] linear cell id for particle positions [3, N] (clamped)."""
+    cx, cy, cz = cell_coords(pos, meta)
+    dims = meta.dims
     return (cx * dims[1] + cy) * dims[2] + cz
+
+
+def _morton_spread(x):
+    """Spread the low 10 bits of x to every 3rd bit (works on jnp and np
+    int32 arrays)."""
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def morton_key(pos: jnp.ndarray, meta: GridMeta) -> jnp.ndarray:
+    """i32[N] Morton (z-order) code of each particle's cell.
+
+    Used as the SORT key of the sorted block-window pipeline: under the
+    linear id, cells adjacent in x/y sit a whole grid row apart in the
+    CSR table, so particles settled across a 2D surface produce window
+    spans of 10^4-10^5 rows (measured on the dragon scene: p90 span 71k
+    rows per 128 particles, 36% window overflow).  The z-order key keeps
+    3D-adjacent cells id-adjacent, so a sublane of 128 sorted particles
+    maps to a compact CSR range of the Morton-ordered pair table (see
+    window_kernel.build_window_tables).
+    """
+    cx, cy, cz = cell_coords(pos, meta)
+    return (
+        _morton_spread(cx)
+        | (_morton_spread(cy) << 1)
+        | (_morton_spread(cz) << 2)
+    )
+
+
+def morton_cell_codes(meta: GridMeta) -> np.ndarray:
+    """Host-side i64[C] Morton code of every linear cell id."""
+    dims = meta.dims
+    allc = np.arange(meta.num_cells, dtype=np.int64)
+    cz = allc % dims[2]
+    cy = (allc // dims[2]) % dims[1]
+    cx = allc // (dims[2] * dims[1])
+    return (
+        _morton_spread(cx.astype(np.int32)).astype(np.int64)
+        | (_morton_spread(cy.astype(np.int32)).astype(np.int64) << 1)
+        | (_morton_spread(cz.astype(np.int32)).astype(np.int64) << 2)
+    )
 
 
 def gather_candidates(

@@ -14,16 +14,21 @@ Pipeline per step (XLA glue + this kernel):
 
   1. sort particles by grid cell id (lax.sort, ~1 ms),
   2. one row-gather of each particle's CSR (start, count),
-  3. per block of 8x128 sorted particles: window = [min start, +W) --
-     a *contiguous* CSR row range, because sorted particles' cells are
-     sorted and the pair table is cell-ordered,
-  4. kernel: DMA the window's transposed vertex rows [9, W] into VMEM
-     once per block, then loop candidates k < max(count in block):
-     per-lane dynamic_gather of the 9 components + the exact swept-sphere
+  3. per SUBLANE ROW of 128 sorted particles: window = [min start, +W)
+     -- a *contiguous* CSR row range, because sorted particles' cells are
+     sorted and the pair table is cell-ordered.  (Round 1 used one window
+     per 1024-particle block; dense scenes -- settled particles on the
+     398k-tri dragon -- span thousands of CSR rows per block, overflowing
+     any affordable W.  128-particle granularity cuts spans ~8x.),
+  4. kernel: 8 concurrent DMAs bring each sublane's natural-layout
+     [16, W] vertex rows into VMEM, ONE MXU permutation matmul arranges
+     them as [72, W] gather tables (row 8c+j = component c of window j),
+     then loop candidates k < max(count in block): per-lane
+     dynamic_gather of the 9 components + the exact swept-sphere
      subtests + running nearest -- all [8, 128] register math,
   5. per-particle overflow mask (count > 0 and own rows not fully inside
-     the window; impossible for falling particles, rare otherwise) ->
-     handled by a compacted XLA fallback pass outside,
+     the own sublane's window; impossible for falling particles, rare
+     otherwise) -> handled by a compacted XLA fallback pass outside,
   6. response + integration fused in-kernel; results unsorted by scatter.
 
 The kernel reimplements the reference narrow-phase math
@@ -54,11 +59,14 @@ _INF = float("inf")
 class WindowTables(NamedTuple):
     """Host-built device tables for the kernel."""
 
-    # vertex components pre-replicated across the 8 sublanes so the kernel
-    # can slice aligned [8, w] tiles (Mosaic requires DMA slices of >= 8
-    # sublanes, so per-sublane-row windows are not expressible; windows
-    # are per 1024-particle block)
-    pairs: jnp.ndarray  # f32[9, 8, P_pad]
+    # vertex components in NATURAL layout, padded to 16 sublane rows
+    # (rows 9..15 are dead 1e38 sentinels) so each per-sublane window DMA
+    # is a fully tile-aligned [16, w] slice.  Round 1 pre-replicated the
+    # 9 rows across 8 sublanes ([9, 8, P] = 8x the HBM and 8x the DMA
+    # traffic); the in-kernel permutation matmul (see _kernel) makes the
+    # natural layout free, the same trick the p2p kernel uses for its
+    # particle rows (p2p_window_kernel.py).
+    pairs: jnp.ndarray  # f32[16, P_pad]
     # (start, count) per cell as a PLANAR [2, C] i32 table.  Layout is
     # load-bearing: XLA-on-TPU lowers a multi-row axis-1 gather from a
     # jit *argument* to a fast vectorized path (~0.04 ms at 1M on v5e),
@@ -69,6 +77,21 @@ class WindowTables(NamedTuple):
 
 
 def build_window_tables(grid: TriangleGrid, meta: GridMeta, w: int) -> WindowTables:
+    """Build the kernel tables with the pair rows in MORTON cell order.
+
+    The per-cell blocks of the CSR table are permuted so that 3D-adjacent
+    cells sit adjacent in the row space (cells2 still maps LINEAR cell
+    ids to (start, count) -- only the row layout changes).  Particles are
+    sorted by ops.grid.morton_key, so each sublane of 128 sorted
+    particles covers a compact row range.  Within each cell the original
+    triangle order is preserved, so per-particle candidate ORDER -- and
+    therefore tie-breaking between equal-t2 hits on shared edges -- is
+    bit-identical to the linear layout.
+    """
+    from particlesystemhybridcollisiondetection_tpu.ops.grid import (
+        morton_cell_codes,
+    )
+
     offsets = np.asarray(grid.offsets).astype(np.int64)
     tri = np.asarray(grid.tri_ids)
     p = len(tri)
@@ -76,13 +99,23 @@ def build_window_tables(grid: TriangleGrid, meta: GridMeta, w: int) -> WindowTab
         [np.asarray(grid.v0), np.asarray(grid.v1), np.asarray(grid.v2)], axis=0
     )  # [9, T]
     pairs = verts[:, tri]  # [9, P]
-    p_pad = ((p + w) // LANE + 1) * LANE
-    pt = np.full((9, 1, p_pad), 1.0e38, dtype=np.float32)
-    pt[:, 0, :p] = pairs
-    pt = np.broadcast_to(pt, (9, SUB, p_pad)).copy()
+
     counts = np.diff(offsets)
-    starts = offsets[:-1]
-    cells2 = np.stack([starts, counts], axis=0).astype(np.int32)  # [2, C]
+    order = np.argsort(morton_cell_codes(meta), kind="stable")  # cells
+    counts_m = counts[order]
+    off_m = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts_m, out=off_m[1:])
+    # pair permutation: morton-rank r takes rows [offsets[order[r]], +cnt)
+    src = np.repeat(offsets[:-1][order], counts_m)
+    dst_base = np.repeat(off_m[:-1], counts_m)
+    pair_perm = np.arange(p, dtype=np.int64) - dst_base + src
+    start_by_cell = np.empty(len(counts), dtype=np.int64)
+    start_by_cell[order] = off_m[:-1]
+
+    p_pad = ((p + w) // LANE + 1) * LANE
+    pt = np.full((16, p_pad), 1.0e38, dtype=np.float32)
+    pt[:9, :p] = pairs[:, pair_perm]
+    cells2 = np.stack([start_by_cell, counts], axis=0).astype(np.int32)
     return WindowTables(pairs=jnp.asarray(pt), cells2=jnp.asarray(cells2))
 
 
@@ -102,23 +135,24 @@ def _lane_gather(tab, idx):
 
 def _kernel(
     # scalar prefetch
-    win_start_ref,  # i32[NB]
+    win_start_ref,  # i32[NB, 8] per-SUBLANE lane-aligned window starts
     k_cap_ref,  # i32[NB]
     # inputs
     pos_ref,  # f32[3, 8, 128] block (sorted)
     vel_ref,
     radius_ref,  # f32[8, 128]
     restit_ref,
-    rel_start_ref,  # i32[8, 128] own CSR start - block window start
+    rel_start_ref,  # i32[8, 128] own CSR start - own sublane's window start
     count_ref,  # i32[8, 128]
-    pairs_hbm,  # f32[9, 8, P_pad] in ANY/HBM
+    pairs_hbm,  # f32[16, P_pad] in ANY/HBM (natural layout, 9 live rows)
     # outputs
     pos_out,
     vel_out,
     hit_out,  # i32[8, 128]
     # scratch
-    win_ref,  # f32[9, 8, W] VMEM
-    sem,
+    stage_ref,  # f32[128, W] VMEM: slot j = rows [16j, 16j+16) = window j
+    win_ref,  # f32[72, W] VMEM: row 8c+j = component c of window j
+    sem,  # DMA semaphores [8]
     *,
     w: int,
     k_static: int,
@@ -127,15 +161,23 @@ def _kernel(
     backoff: float,
 ):
     b = pl.program_id(0)
-    win_start = pl.multiple_of(win_start_ref[b], 128)
     k_cap = k_cap_ref[b]
 
+    # Per-sublane windows: each row of 128 sorted particles gets its OWN
+    # [16, w] window DMA (round 1 had one window per 1024-particle block,
+    # which overflows on dense scenes -- settled particles on the 398k-tri
+    # dragon span thousands of CSR rows per block).  All 8 DMAs are issued
+    # up front (latency hiding, as in the p2p kernel).
     copies = [
         pltpu.make_async_copy(
-            pairs_hbm.at[:, :, pl.ds(win_start, w)], win_ref, sem
+            pairs_hbm.at[:, pl.ds(pl.multiple_of(win_start_ref[b, j], 128), w)],
+            stage_ref.at[pl.ds(16 * j, 16), :],
+            sem.at[j],
         )
+        for j in range(SUB)
     ]
-    copies[0].start()
+    for cp in copies:
+        cp.start()
 
     pos = pos_ref[:]
     vel = vel_ref[:]
@@ -152,6 +194,20 @@ def _kernel(
     for cp in copies:
         cp.wait()
 
+    # Assemble gather tables win[8c+j, :] = stage[16j+c, :] with ONE MXU
+    # permutation matmul (Mosaic cannot shuffle sublanes in the VPU; the
+    # MXU does it for free -- same trick as the p2p kernel's `rep`).
+    perm = (
+        jax.lax.broadcasted_iota(jnp.int32, (72, 128), 1)
+        == 16 * (jax.lax.broadcasted_iota(jnp.int32, (72, 128), 0) % 8)
+        + jax.lax.broadcasted_iota(jnp.int32, (72, 128), 0) // 8
+    ).astype(jnp.float32)
+    win_ref[:] = jax.lax.dot_general(
+        perm, stage_ref[:],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
     def dot3(a, b):
         return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
 
@@ -167,7 +223,7 @@ def _kernel(
     def body(k, acc):
         best_t2, best_t, best_nx, best_ny, best_nz, any_hit = acc
         idx = jnp.clip(rel_start + k, 0, w - 1)
-        comp = [_lane_gather(win_ref[c], idx) for c in range(9)]
+        comp = [_lane_gather(win_ref[8 * c : 8 * c + 8], idx) for c in range(9)]
         v0 = jnp.stack(comp[0:3])
         v1 = jnp.stack(comp[3:6])
         v2 = jnp.stack(comp[6:9])
@@ -323,7 +379,7 @@ def window_collide_sorted(
     restit_s,
     rel_start,  # i32[N]
     count,  # i32[N]
-    win_start,  # i32[NB]
+    win_start,  # i32[NB, 8] per-sublane window starts
     k_cap,  # i32[NB]
     tables: WindowTables,
     *,
@@ -364,8 +420,9 @@ def window_collide_sorted(
             pl.BlockSpec((SUB, LANE), lambda b, *_: (b, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((9, SUB, w), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((128, w), jnp.float32),
+            pltpu.VMEM((72, w), jnp.float32),
+            pltpu.SemaphoreType.DMA((SUB,)),
         ],
     )
     kern = functools.partial(

@@ -48,12 +48,16 @@ def test_candidates_are_complete():
     tids = np.asarray(grid.tri_ids)
     offs = np.asarray(grid.offsets)
 
-    # ground truth: triangles whose vertices' AABB is within expand
+    # ground truth: triangles whose AABB is within EUCLIDEAN distance
+    # ``expand`` of the point.  That is the guarantee the narrow phase
+    # needs (a particle can only touch geometry within r + travel of it,
+    # measured in L2); the binner's L2 prefilter (ops/grid.py) provides
+    # exactly this, no longer the looser L-infinity cube.
     lo = tris.min(axis=1)  # [T, 3]
     hi = tris.max(axis=1)
     for i in range(len(pts)):
         d = np.maximum(lo - pts[i], 0) + np.maximum(pts[i] - hi, 0)
-        near = np.where((d.max(axis=1) <= gcfg.expand - 1e-3))[0]
+        near = np.where(np.linalg.norm(d, axis=1) <= gcfg.expand - 1e-3)[0]
         cand = set(tids[offs[cid[i]] : offs[cid[i] + 1]])
         missing = set(near) - cand
         assert not missing, f"point {pts[i]} missing triangles {missing}"
