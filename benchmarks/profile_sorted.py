@@ -52,6 +52,12 @@ def main():
     ap.add_argument("--window", type=int, default=None)
     args = ap.parse_args()
 
+    from particlesystemhybridcollisiondetection_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()  # ~10 stage compiles x minutes each remotely
+
     from particlesystemhybridcollisiondetection_tpu.core.state import spawn_grid
     from particlesystemhybridcollisiondetection_tpu.core.step import (
         _auto_window,
