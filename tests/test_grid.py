@@ -132,3 +132,82 @@ def test_grid_long_run_statistics_match_bruteforce():
     nc_gr = np.asarray(s_gr.collisions)[mask].sum()
     assert abs(np.mean(y_bf) - np.mean(y_gr)) < 0.2
     assert 0.5 < nc_gr / max(nc_bf, 1) < 2.0
+
+
+def test_morton_key_locality_and_consistency():
+    """morton_key must (a) agree with morton_cell_codes through cell_index,
+    (b) be a bijection of the cell id, and (c) keep any 2x2x2 cell octant
+    id-adjacent (the locality property the sorted window pipeline relies
+    on, ops/pallas/window_kernel.py step 3)."""
+    from particlesystemhybridcollisiondetection_tpu.ops.grid import (
+        morton_cell_codes,
+        morton_key,
+    )
+
+    scene = sample_scene()
+    grid, meta = build_triangle_grid(scene.triangles, scene.config.grid)
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(-3, 3, size=(3, 512)).astype(np.float32)
+
+    codes = morton_cell_codes(meta)  # [C] per linear cell id
+    cid = np.asarray(cell_index(jnp.asarray(pts), meta))
+    key = np.asarray(morton_key(jnp.asarray(pts), meta))
+    np.testing.assert_array_equal(key, codes[cid])
+
+    # bijective over the grid's cells
+    assert len(np.unique(codes)) == meta.num_cells
+
+    # octant locality: the 8 cells of any aligned 2x2x2 block occupy 8
+    # CONSECUTIVE morton ranks
+    rank = np.empty(meta.num_cells, dtype=np.int64)
+    rank[np.argsort(codes, kind="stable")] = np.arange(meta.num_cells)
+    dims = meta.dims
+    for _ in range(32):
+        x, y, z = (
+            rng.integers(0, max(dims[0] // 2, 1)) * 2,
+            rng.integers(0, max(dims[1] // 2, 1)) * 2,
+            rng.integers(0, max(dims[2] // 2, 1)) * 2,
+        )
+        if x + 1 >= dims[0] or y + 1 >= dims[1] or z + 1 >= dims[2]:
+            continue
+        octant = [
+            ((x + dx) * dims[1] + (y + dy)) * dims[2] + (z + dz)
+            for dx in (0, 1)
+            for dy in (0, 1)
+            for dz in (0, 1)
+        ]
+        r = np.sort(rank[octant])
+        assert (np.diff(r) == 1).all(), (x, y, z, r)
+
+
+def test_window_tables_morton_permutation_preserves_cell_contents():
+    """build_window_tables permutes pair rows into Morton cell order; each
+    cell's candidate rows must keep the linear layout's triangles in the
+    SAME order (tie-breaking parity), addressed by the new cells2."""
+    from particlesystemhybridcollisiondetection_tpu.ops.pallas.window_kernel import (
+        build_window_tables,
+    )
+
+    scene = sample_scene()
+    grid, meta = build_triangle_grid(scene.triangles, scene.config.grid)
+    tables = build_window_tables(grid, meta, w=256)
+    pairs_m = np.asarray(tables.pairs)  # [16, P_pad], rows 0..8 live
+    cells2 = np.asarray(tables.cells2)  # [2, C] (morton-order starts, counts)
+
+    offs = np.asarray(grid.offsets)
+    tri = np.asarray(grid.tri_ids)
+    verts = np.concatenate(
+        [np.asarray(grid.v0), np.asarray(grid.v1), np.asarray(grid.v2)],
+        axis=0,
+    )  # [9, T]
+
+    occupied = np.where(np.diff(offs) > 0)[0]
+    for c in occupied[:: max(len(occupied) // 64, 1)]:
+        lin_rows = verts[:, tri[offs[c] : offs[c + 1]]]  # [9, k]
+        start, count = cells2[0, c], cells2[1, c]
+        assert count == offs[c + 1] - offs[c]
+        np.testing.assert_array_equal(
+            pairs_m[:9, start : start + count], lin_rows
+        )
+    # dead sublane rows stay sentinel
+    assert (pairs_m[9:] >= 1.0e37).all()
