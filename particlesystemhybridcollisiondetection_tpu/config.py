@@ -118,8 +118,19 @@ SAMPLE_PRESET = SimConfig(
     grid=GridConfig(cell_size=1.0, expand=0.5, max_tris_per_cell=16),
 )
 
+#: SphereScene.unity — dev/demo scene: 16x-scaled sphere + 2x plane at the
+#: origin; its ParticleSys MonoBehaviour serializes NO overrides, so every
+#: parameter is the ParticleSys.cs:41-47 class default, and the spawn
+#: origin is the ParticleObject transform at (0, 0, 0)
+#: (SphereScene.unity ParticleObject transform).
+SPHERE_PRESET = SimConfig(
+    spawn_origin=(0.0, 0.0, 0.0),
+    grid=GridConfig(cell_size=2.0, expand=3.2),
+)
+
 PRESETS = {
     "dragon": DRAGON_PRESET,
     "bunny": BUNNY_PRESET,
     "sample": SAMPLE_PRESET,
+    "sphere": SPHERE_PRESET,
 }

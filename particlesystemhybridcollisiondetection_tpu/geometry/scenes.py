@@ -172,9 +172,30 @@ def dragons_scene(width: int = 1920, height: int = 1080, tri_budget: int = 400_0
     return Scene("DragonsScene", PRESETS["dragon"], instances, benchmark_cameras(width, height))
 
 
+def sphere_scene(width: int = 1920, height: int = 1080) -> Scene:
+    """SphereScene.unity: a 16x-scaled sphere and a 2x-scaled plane at the
+    origin, camera at (0, 1, -23.02) looking +z; all ParticleSys params
+    are class defaults and particles spawn from the origin (the scene is
+    the reference's early dev/demo scene, not a tuned benchmark)."""
+    from particlesystemhybridcollisiondetection_tpu.geometry.mesh import uv_sphere
+
+    instances = [
+        (unity_plane(), Transform(scale=(2.0, 2.0, 2.0))),
+        (uv_sphere(), Transform(scale=(16.0, 16.0, 16.0))),
+    ]
+    cam = Camera(
+        Transform(position=(0.0, 1.0, -23.02)),
+        width=width,
+        height=height,
+        name="Main Camera",
+    )
+    return Scene("SphereScene", PRESETS["sphere"], instances, [cam])
+
+
 SCENES: dict[str, Callable[..., Scene]] = {
     "sample": sample_scene,
     "bunny": bunny_scene,
     "dragon": dragon_scene,
     "dragons": dragons_scene,
+    "sphere": sphere_scene,
 }
