@@ -203,3 +203,51 @@ def test_flat_meshes_normals_unchanged():
     d1, n1 = rasterize_depth_normal(tris, cam, cnorms)
     np.testing.assert_array_equal(d0, d1)
     np.testing.assert_allclose(n0, n1, atol=1e-6)
+
+
+def test_bake_disk_cache_roundtrip(tmp_path, monkeypatch):
+    """A second bake of the same (mesh, camera) must come from disk and be
+    bit-identical, including the planar [4, H*W] table layout."""
+    from particlesystemhybridcollisiondetection_tpu.ops import screenspace as ss
+
+    monkeypatch.setattr(ss, "_BAKE_DISK_DIR", str(tmp_path))
+    scene = sample_scene(width=96, height=54)
+    cam = scene.cameras[0]
+
+    ss._BAKE_CACHE.clear()
+    tex1 = ss.bake_camera(scene.triangles, cam)
+    files = list(tmp_path.iterdir())
+    assert len(files) == 1 and files[0].suffix == ".npz"
+
+    ss._BAKE_CACHE.clear()  # force the disk path
+    tex2 = ss.bake_camera(scene.triangles, cam)
+    np.testing.assert_array_equal(np.asarray(tex1.depth), np.asarray(tex2.depth))
+    np.testing.assert_array_equal(np.asarray(tex1.normal), np.asarray(tex2.normal))
+    np.testing.assert_array_equal(np.asarray(tex1.planar), np.asarray(tex2.planar))
+
+    pl = np.asarray(tex1.planar)
+    assert pl.shape == (4, 96 * 54)
+    np.testing.assert_array_equal(pl[0], np.asarray(tex1.depth).reshape(-1))
+    np.testing.assert_array_equal(
+        pl[1:4], np.asarray(tex1.normal).reshape(-1, 3).T
+    )
+    ss._BAKE_CACHE.clear()
+
+
+def test_sphere_scene_preset():
+    """SphereScene parity constants (SphereScene.unity): default
+    ParticleSys params, origin spawn, 16x sphere + 2x plane."""
+    from particlesystemhybridcollisiondetection_tpu.geometry.scenes import (
+        sphere_scene,
+    )
+
+    sc = sphere_scene(width=64, height=36)
+    assert sc.config.particle_radius == 2.0
+    assert sc.config.dt == 0.01
+    assert sc.config.bounciness == 0.25
+    assert sc.config.spawn_origin == (0.0, 0.0, 0.0)
+    tris = sc.triangles
+    assert np.isfinite(tris).all()
+    # sphere verts reach +-8 (0.5 radius x 16 scale); plane spans +-10
+    assert 7.5 < np.abs(tris).max() <= 10.01
+    assert len(sc.cameras) == 1
