@@ -700,10 +700,9 @@ def make_hybrid_step_sorted(
         # sort by MORTON key (3D-local cells stay row-adjacent in the
         # morton-ordered pair table; see ops.grid.morton_key); cells2 is
         # still indexed by the linear cell id
-        cid = cell_index(pos, meta)
         key = morton_key(pos, meta)
         ids = jnp.arange(n, dtype=jnp.int32)
-        _, cid_s, perm = jax.lax.sort((key, cid, ids), num_keys=1)
+        _, perm = jax.lax.sort((key, ids), num_keys=1)
         rows = jnp.concatenate(
             [pos, vel, state.radius[None], state.restitution[None],
              undecided[None].astype(jnp.float32)],
@@ -711,6 +710,10 @@ def make_hybrid_step_sorted(
         )  # [9, N]
         rows_s = rows[:, perm]
         pos_s = rows_s[0:3]
+        # linear cell id recomputed from the PERMUTED positions: cheaper
+        # than carrying it as a third sort payload (elementwise vs one
+        # more i32[N] through every merge pass)
+        cid_s = cell_index(pos_s, meta)
         vel_s = rows_s[3:6]
         radius_s = rows_s[6]
         restit_s = rows_s[7]
@@ -883,10 +886,9 @@ def make_spatial_step_sorted(
         # sort by MORTON key (3D-local cells stay row-adjacent in the
         # morton-ordered pair table; see ops.grid.morton_key); cells2 is
         # still indexed by the linear cell id
-        cid = cell_index(pos, meta)
         key = morton_key(pos, meta)
         ids = jnp.arange(n, dtype=jnp.int32)
-        _, cid_s, perm = jax.lax.sort((key, cid, ids), num_keys=1)
+        _, perm = jax.lax.sort((key, ids), num_keys=1)
 
         # [8, N] layout: axis-1 gather avoids the 16x (8,128)-tile padding
         # a trailing-8 row matrix would incur
@@ -895,6 +897,10 @@ def make_spatial_step_sorted(
         )  # [8, N]
         rows_s = rows[:, perm]
         pos_s = rows_s[0:3]
+        # linear cell id recomputed from the PERMUTED positions: cheaper
+        # than carrying it as a third sort payload (elementwise vs one
+        # more i32[N] through every merge pass)
+        cid_s = cell_index(pos_s, meta)
         vel_s = rows_s[3:6]
         radius_s = rows_s[6]
         restit_s = rows_s[7]
@@ -1050,13 +1056,16 @@ def make_sorted_episode_runner(
         # sort by MORTON key (3D-local cells stay row-adjacent in the
         # morton-ordered pair table; see ops.grid.morton_key); cells2 is
         # still indexed by the linear cell id
-        cid = cell_index(pos, meta)
         key = morton_key(pos, meta)
         ids = jnp.arange(n, dtype=jnp.int32)
-        _, cid_s, perm = jax.lax.sort((key, cid, ids), num_keys=1)
+        _, perm = jax.lax.sort((key, ids), num_keys=1)
         rows_s = rows8[:, perm]
         aux_s = aux[:, perm]
         pos_s = rows_s[0:3]
+        # linear cell id recomputed from the PERMUTED positions: cheaper
+        # than carrying it as a third sort payload (elementwise vs one
+        # more i32[N] through every merge pass)
+        cid_s = cell_index(pos_s, meta)
         vel_s = rows_s[3:6]
         radius_s = rows_s[6]
         restit_s = rows_s[7]
