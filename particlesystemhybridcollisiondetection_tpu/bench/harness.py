@@ -276,5 +276,20 @@ def _write_summary(scene, results, layers_y, out_dir):
         }
         for r in results
     ]
-    with open(os.path.join(out_dir, f"summary_{scene.name}.json"), "w") as f:
+    # merge with any existing summary so multi-size protocol sweeps (one
+    # run_benchmark call per particle count) accumulate instead of clobber;
+    # fresh results replace stale entries with the same identity
+    path = os.path.join(out_dir, f"summary_{scene.name}.json")
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                old = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            old = []
+        fresh = {(s["method"], s["camera"], s["num_particles"]) for s in summary}
+        summary += [
+            s for s in old
+            if (s["method"], s["camera"], s["num_particles"]) not in fresh
+        ]
+    with open(path, "w") as f:
         json.dump(summary, f, indent=2)

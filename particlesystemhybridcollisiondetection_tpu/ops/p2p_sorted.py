@@ -325,13 +325,19 @@ def p2p_window_phase1(
     *,
     beta: float = 0.5,
     active=None,
-    window: int = 2048,
+    window: int = 512,
     interpret: bool = False,
 ):
     """Glue + Pallas kernel: sort/CSR/window plan, run the 9-run
-    block-window kernel.  Returns the parts phase 2 consumes:
+    per-sublane-window kernel.  Returns the parts phase 2 consumes:
     (pos_k, vel_k, ncon_k, rows_s, starts, cnt, overflow, perm), all in
     sorted order / padded to the kernel block multiple.
+
+    Window granularity is one row of 128 sorted particles (the kernel
+    sublane): the in-register gather cascade is linear in the window
+    size, and a per-sublane window covers ~8x less run span than the
+    per-block window round 2 started with, so ``window`` drops from 2048
+    to 512 at identical DMA traffic (see the kernel docstring).
 
     Phases 1 and 2 are separate so callers can jit them as TWO programs:
     the monolithic [kernel + chunked fallback + response] program
@@ -344,6 +350,10 @@ def p2p_window_phase1(
         BLOCK,
         p2p_window_collide_sorted,
     )
+    from particlesystemhybridcollisiondetection_tpu.ops.pallas.window_kernel import (
+        LANE,
+        SUB,
+    )
 
     check_meta(meta)
     n = state.pos.shape[-1]
@@ -355,15 +365,16 @@ def p2p_window_phase1(
     run_tab = _run_table(offsets, meta)
     starts, cnt = _run_bounds(cid_s, run_tab, meta)  # [9, n_k] each
 
-    # per-block window geometry (runs with cnt == 0 do not constrain it)
+    # per-SUBLANE window geometry: one window per row of 128 sorted
+    # particles per group (runs with cnt == 0 do not constrain it)
     big = jnp.int32(1 << 30)
-    sb = jnp.where(cnt > 0, starts, big).reshape(9, nb, BLOCK)
-    ws = jnp.min(sb, axis=2)  # [9, NB]
+    sb = jnp.where(cnt > 0, starts, big).reshape(9, nb * SUB, LANE)
+    ws = jnp.min(sb, axis=2)  # [9, NB*8]
     ws = jnp.where(ws == big, 0, ws)
-    ws = (ws // 128) * 128  # lane-aligned DMA starts
-    ws = jnp.clip(ws, 0, n_k + w - w)  # rows_pad has n_k + w columns
+    ws = (ws // LANE) * LANE  # lane-aligned DMA starts
+    ws = jnp.clip(ws, 0, n_k)  # rows_pad has n_k + w columns
     k_cap = jnp.max(cnt.reshape(9, nb, BLOCK), axis=2)  # [9, NB]
-    rel = starts - jnp.repeat(ws, BLOCK, axis=1)  # [9, n_k]
+    rel = starts - jnp.repeat(ws, LANE, axis=1)  # [9, n_k]
     overflow = jnp.any((cnt > 0) & ((rel < 0) | (rel + cnt > w)), axis=0)
     rel = jnp.clip(rel, 0, w - 1)
 
@@ -373,7 +384,8 @@ def p2p_window_phase1(
 
     pos_k, vel_k, ncon_k = p2p_window_collide_sorted(
         pos_s, vel_s, radius_s, restit_s, rows_pad, rel, cnt,
-        ws.T, k_cap.T, w=w, beta=beta, interpret=interpret,
+        ws.reshape(9, nb, SUB).transpose(1, 0, 2), k_cap.T,
+        w=w, beta=beta, interpret=interpret,
     )
     return pos_k, vel_k, ncon_k, rows_s, starts, cnt, overflow, perm
 
@@ -419,7 +431,7 @@ def p2p_collide_window(
     *,
     beta: float = 0.5,
     active=None,
-    window: int = 2048,
+    window: int = 512,
     fallback_capacity: int = 8192,
     interpret: bool = False,
 ) -> tuple[ParticleState, jnp.ndarray]:

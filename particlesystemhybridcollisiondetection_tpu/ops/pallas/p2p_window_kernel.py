@@ -1,4 +1,5 @@
-"""Sorted 9-run block-window Pallas kernel for particle-particle collisions.
+"""Sorted 9-run per-sublane-window Pallas kernel for particle-particle
+collisions.
 
 The XLA sorted-segment path (ops/p2p_sorted.py) is algorithmically right but
 gather-bound: on v5e every [rows, N] axis-1 gather costs ~5 ns/index
@@ -15,26 +16,42 @@ iteration into VMEM, exactly like the static-geometry window kernel
        nine (dx, dy) neighbor z-runs, built by static SLICES of the
        offsets array -- so the per-particle bounds of all nine runs cost a
        single million-index gather instead of nine,
-    4. per 1024-particle block x group: window start = min run start
-       (lane-aligned), k_cap = max run length; particles whose run spills
-       out of the window are flagged for the exact fallback.
+    4. per SUBLANE ROW of 128 sorted particles x group: window start =
+       min run start (lane-aligned), per-block k_cap = max run length;
+       particles whose run spills out of their sublane's window are
+       flagged for the exact fallback.
 
-  Kernel (per block):
-    a fori_loop over the nine (dx, dy) groups: DMA the group's
-    sorted-particle window [8, W] (pos3/vel3/radius/restitution rows,
-    natural layout), MXU-replicate it across sublanes (see the
-    ``rep`` matmul), then a dynamic-bound candidate loop of
-    in-register dynamic_gathers + the exact sphere-sphere contact model,
-    accumulating impulse dv, positional correction dp, and contact counts.
-    All nine DMAs are issued up front into separate VMEM slots (latency
-    hiding) but the group loop is ROLLED, not unrolled: the 9x-unrolled
-    form compiled 15-25 min remotely and repeatedly crashed the TPU
-    worker mid-compile.
+  Kernel (per 1024-particle block):
+    a fori_loop over the nine (dx, dy) groups: 8 per-sublane DMAs bring
+    each sublane's [8, w] particle-row window (pos3/vel3/radius/
+    restitution rows, natural layout) into the group's staging slot, ONE
+    MXU permutation matmul arranges them as [64, w] gather tables (row
+    8c+j = component c of sublane j's window), then a dynamic-bound
+    candidate loop of in-register dynamic_gathers + the exact
+    sphere-sphere contact model, accumulating impulse dv, positional
+    correction dp, and contact counts.  All 72 DMAs are issued up front
+    into separate VMEM slots (latency hiding) but the group loop is
+    ROLLED, not unrolled: the 9x-unrolled form compiled 15-25 min
+    remotely and repeatedly crashed the TPU worker mid-compile.
+
+Why PER-SUBLANE windows (round-2 redesign; previously one window per
+1024-particle block): the in-register gather is a cascade of w/128
+per-vreg shuffles + selects, so its cost is linear in the window size.
+One window covering a whole block's nine runs needed w=2048 (16-stage
+cascade, ~1.3 us per candidate iteration); a window per 128 sorted
+particles covers ~8x less span, so w=256..512 suffices -- a 4-8x shorter
+cascade on the op that dominates the kernel -- at IDENTICAL total DMA
+traffic (8 x [8, w] vs 1 x [8, 8w]).  The same change took the spatial
+kernel through dense-scene block spans (window_kernel.py step 3).
 
 The contact model matches ops/p2p.py (documented there; capability
 extension over the reference, whose particles never interact).  Run
 construction correctness (supersets, no double counting, symmetry) is
 argued in ops/p2p_sorted.py -- this kernel consumes the same runs.
+Self-collision needs no index test: a particle's own run contains
+itself, but the ``dist2 > 0`` guard rejects the zero-distance pair (the
+XLA paths apply the same guard on top of their index test, so semantics
+agree on every non-self pair).
 """
 
 from __future__ import annotations
@@ -59,14 +76,14 @@ N_GROUPS = 9
 
 def _p2p_kernel(
     # scalar prefetch
-    ws_ref,  # i32[NB, 9] lane-aligned window starts
+    ws_ref,  # i32[NB, 9, 8] lane-aligned per-sublane window starts
     kcap_ref,  # i32[NB, 9]
     # inputs
     pos_ref,  # f32[3, 8, 128] sorted block
     vel_ref,  # f32[3, 8, 128]
     radius_ref,  # f32[8, 128]
     restit_ref,  # f32[8, 128]
-    rel_ref,  # i32[9, 8, 128] own run start - window start, per group
+    rel_ref,  # i32[9, 8, 128] own run start - own sublane's window start
     cnt_ref,  # i32[9, 8, 128] run length, per group
     rows_hbm,  # f32[8, N_pad] sorted rows (pos3/vel3/radius/restitution
     #            on the sublanes; natural layout, NOT pre-replicated)
@@ -75,37 +92,35 @@ def _p2p_kernel(
     vel_out,  # f32[3, 8, 128] vel + impulses
     ncon_out,  # i32[8, 128]
     # scratch
-    win_ref,  # f32[9, 8, W] one window slot per group
-    sem,  # DMA semaphores [9]
+    stage_ref,  # f32[9, 64, w]: group g rows 8j..8j+7 = sublane j's window
+    win_ref,  # f32[64, w]: row 8c+j = component c of sublane j's window
+    sem,  # DMA semaphores [9, 8]
     *,
     w: int,
     beta: float,
 ):
     b = pl.program_id(0)
 
-    def dma(g, slot):
-        ws_a = pl.multiple_of(ws_ref[b, g], LANE)
+    def dma(g, j):
+        ws_a = pl.multiple_of(ws_ref[b, g, j], LANE)
         return pltpu.make_async_copy(
-            rows_hbm.at[:, pl.ds(ws_a, w)], win_ref.at[slot], sem.at[slot]
+            rows_hbm.at[:, pl.ds(ws_a, w)],
+            stage_ref.at[g, pl.ds(8 * j, 8), :],
+            sem.at[g, j],
         )
 
-    # ALL nine window DMAs start up front: issued back-to-back they
-    # overlap each other and the early groups' candidate loops, hiding
-    # the per-DMA latency that dominated the serialized form (9 waits x
-    # ~1000 blocks of a ~64 KB copy each)
+    # ALL 72 window DMAs start up front: issued back-to-back they overlap
+    # each other and the early groups' candidate loops, hiding the
+    # per-DMA latency that dominated the serialized form
     for g0 in range(N_GROUPS):
-        dma(g0, g0).start()
+        for j0 in range(SUB):
+            dma(g0, j0).start()
 
     pos = pos_ref[:]
     vel = vel_ref[:]
     radius = radius_ref[:]
     restit = restit_ref[:]
     mass = radius * radius * radius
-    own = (
-        b * BLOCK
-        + jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 0) * LANE
-        + jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 1)
-    )
 
     zero3 = jnp.zeros((3, SUB, LANE), dtype=jnp.float32)
 
@@ -113,33 +128,34 @@ def _p2p_kernel(
     # the unrolled variant emitted a ~9x larger Mosaic program whose
     # remote compile took 15-25 min and repeatedly crashed the TPU worker
     # mid-compile (2026-08, v5e via axon).  Everything the group body
-    # needs is indexable by the loop counter (rel/cnt rows, scalar window
-    # start / k_cap), so the rolled form is semantically identical.
-    # sublane-replication matrix: rep[8c+s, c] = 1, so rep @ win ([8, W])
-    # yields [64, W] where rows 8c..8c+7 all equal component row c.
-    # Mosaic cannot legalize a [1, W] -> [8, W] sublane broadcast, but the
-    # MXU does it for free (~1M MACs per group-block); this keeps the HBM
-    # window at its natural [8, W] (the pre-replicated [8, 8, W] form
-    # cost 8x the DMA traffic and an [8, 8, N] materialization per step).
-    rep = (
-        jax.lax.broadcasted_iota(jnp.int32, (64, 8), 0) // 8
-        == jax.lax.broadcasted_iota(jnp.int32, (64, 8), 1)
-    ).astype(jnp.float32)  # [64, 8]; built in-kernel (pallas forbids
+    # needs is indexable by the loop counter (rel/cnt rows, stage slot,
+    # scalar k_cap), so the rolled form is semantically identical.
+    #
+    # Sublane-permutation matmul: perm[8c+j, 8j+c] = 1, so perm @ stage_g
+    # ([64, w]) yields win with row 8c+j = component c of sublane j's
+    # window.  Mosaic cannot shuffle sublanes in the VPU, but the MXU does
+    # it for free; this keeps the HBM windows at their natural [8, w]
+    # (the pre-replicated form cost 8x the DMA traffic).
+    perm = (
+        jax.lax.broadcasted_iota(jnp.int32, (64, 64), 1)
+        == 8 * (jax.lax.broadcasted_iota(jnp.int32, (64, 64), 0) % 8)
+        + jax.lax.broadcasted_iota(jnp.int32, (64, 64), 0) // 8
+    ).astype(jnp.float32)  # [64, 64]; built in-kernel (pallas forbids
     #                        captured array constants)
 
     def group_body(g, acc):
         dv, dp, ncon = acc
-        ws_g = ws_ref[b, g]
-        dma(g, g).wait()
+        for j in range(SUB):
+            dma(g, j).wait()
         rel = rel_ref[g]
         cnt = cnt_ref[g]
         k_cap = kcap_ref[b, g]
-        tabs8 = jax.lax.dot_general(
-            rep, win_ref[g],
+        win_ref[:] = jax.lax.dot_general(
+            perm, stage_ref[g],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [64, W]
-        tabs = [tabs8[8 * c : 8 * c + 8] for c in range(8)]  # [8, W] each
+        )  # [64, w]
+        tabs = [win_ref[8 * c : 8 * c + 8] for c in range(8)]  # [8, w] each
 
         def body(k, acc):
             dv, dp, ncon = acc
@@ -149,12 +165,12 @@ def _p2p_kernel(
             vj = jnp.stack(comp[3:6])
             rj = comp[6]
             ej = comp[7]
-            cand = ws_g + rel + k  # true sorted index of the candidate
-            valid = (k < cnt) & (rel + k < w) & (cand != own)
+            valid = (k < cnt) & (rel + k < w)
 
             d = pos - pj
             dist2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
             rsum = radius + rj
+            # dist2 > 0 rejects the self-pair (see module docstring)
             touching = valid & (dist2 < rsum * rsum) & (dist2 > 0.0)
 
             dist = jnp.sqrt(jnp.maximum(dist2, 1e-30))
@@ -206,7 +222,7 @@ def p2p_window_collide_sorted(
     rows_pad,  # f32[8, N + W] sorted rows, W pad cols
     rel,  # i32[9, N]
     cnt,  # i32[9, N]
-    ws,  # i32[NB, 9]
+    ws,  # i32[NB, 9, 8] per-sublane window starts
     k_cap,  # i32[NB, 9]
     *,
     w: int,
@@ -237,8 +253,9 @@ def p2p_window_collide_sorted(
             pl.BlockSpec((SUB, LANE), lambda b, *_: (b, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((N_GROUPS, SUB, w), jnp.float32),
-            pltpu.SemaphoreType.DMA((N_GROUPS,)),
+            pltpu.VMEM((N_GROUPS, 8 * SUB, w), jnp.float32),
+            pltpu.VMEM((8 * SUB, w), jnp.float32),
+            pltpu.SemaphoreType.DMA((N_GROUPS, SUB)),
         ],
     )
     kern = functools.partial(_p2p_kernel, w=w, beta=beta)
