@@ -332,3 +332,43 @@ def test_p2p_window_kernel_sentinels_and_multiblock_interpret():
         np.asarray(out.vel), np.asarray(ref.vel), rtol=1e-4, atol=1e-5
     )
     np.testing.assert_allclose(np.asarray(out.pos[:, 1340:]).T, pos[1340:])
+
+
+def test_p2p_per_sublane_windows_cover_density_gradient():
+    """One 1024-particle block with a strong density gradient: a dense
+    cluster under the first sublanes and a sparse far tail.  A shared
+    per-BLOCK window of this size could not span both regions' runs, but
+    per-sublane windows (each row of 128 sorted particles gets its own
+    window) cover every run with w=512 -- zero overflow, and the kernel
+    alone (no fallback work) matches the XLA sorted-segment path."""
+    from particlesystemhybridcollisiondetection_tpu.ops.p2p_sorted import (
+        p2p_collide_sorted,
+        p2p_collide_window,
+    )
+
+    rng = np.random.default_rng(12)
+    n = 1024
+    n_dense = 768
+    pos = np.empty((n, 3), dtype=F)
+    # dense cluster: 768 particles in one corner cell-cluster (low cids)
+    pos[:n_dense] = rng.uniform(0.1, 2.3, size=(n_dense, 3))
+    # sparse tail: 256 particles spread over the far corner (high cids)
+    pos[n_dense:] = rng.uniform(6.0, 11.9, size=(n - n_dense, 3))
+    vel = (rng.normal(size=(n, 3)) * 2).astype(F)
+    radius = rng.uniform(0.1, 0.2, size=n).astype(F)
+    rest = rng.uniform(0.3, 0.9, size=n).astype(F)
+    s = _state(pos.astype(F), vel, radius, rest)
+    meta = pg.make_meta((0, 0, 0), (12, 12, 12), cell_size=0.4, capacity=64)
+
+    ref, _ = p2p_collide_sorted(s, meta)
+    out, n_over = p2p_collide_window(s, meta, window=512, interpret=True)
+    assert int(n_over) == 0  # per-sublane windows cover both regimes
+    np.testing.assert_array_equal(
+        np.asarray(out.collisions), np.asarray(ref.collisions)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.pos), np.asarray(ref.pos), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.vel), np.asarray(ref.vel), rtol=1e-4, atol=1e-5
+    )
