@@ -522,6 +522,133 @@ def make_p2p_step(
     return step
 
 
+def make_p2p_episode_runner(
+    box_lo,
+    box_hi,
+    cfg: SimConfig,
+    cell_size: Optional[float] = None,
+    capacity: int = 8,
+    max_radius: Optional[float] = None,
+    *,
+    window: int = 512,
+    fallback_capacity: int = 8192,
+    interpret: bool = False,
+):
+    """Gravity-box episode runner with PERSISTENT sorted order: the p2p
+    analog of make_sorted_episode_runner (same contact model and step
+    composition as make_p2p_step's kernel variant).
+
+    Unlike the spatial runner there is no lazy re-sort: the p2p candidate
+    runs are CSR segments over the PARTICLES themselves, so exact cell
+    grouping is a correctness requirement, not a locality hint -- every
+    step sorts.  What persisting the order removes is the per-step order
+    RESTORATION (inverse-permutation sort + [7, N] unsort gather) and the
+    per-step sentinel pad concat: the carried [8, n_k] rows stay in the
+    previous step's sorted order and the original order is restored once,
+    at episode end.  Still TWO jitted programs per step (see
+    p2p_window_phase1's crash rationale).
+
+    Returns ``run(state, num_steps) -> state`` (original order; collision
+    counts accumulated).
+    """
+    from particlesystemhybridcollisiondetection_tpu.config import FLOAT_SENTINEL
+    from particlesystemhybridcollisiondetection_tpu.ops import p2p as p2p_ops
+    from particlesystemhybridcollisiondetection_tpu.ops import p2p_sorted as p2ps
+    from particlesystemhybridcollisiondetection_tpu.ops import pgrid as pg
+    from particlesystemhybridcollisiondetection_tpu.ops.pallas.p2p_window_kernel import (
+        BLOCK,
+    )
+
+    gravity = jnp.asarray(cfg.gravity, dtype=jnp.float32)
+    r_max = cfg.particle_radius if max_radius is None else float(max_radius)
+    h = 2.0 * r_max if cell_size is None else cell_size
+    assert h >= 2.0 * r_max - 1e-6, (
+        f"cell_size {h} < 2 * max radius {r_max}"
+    )
+    meta = pg.make_meta(box_lo, box_hi, h, capacity=capacity)
+    p2ps.check_meta(meta)
+
+    @jax.jit
+    def _phase1(rows8):
+        active = jnp.abs(rows8[0]) < FLOAT_SENTINEL * 0.5
+        cx, cy, cz = pg.cell_coords(rows8[0:3], meta)
+        cid = pg.linear_cell(cx, cy, cz, meta)
+        cid_key = jnp.where(active, cid, meta.num_cells)
+        return p2ps._phase1_core(
+            rows8, cid_key, meta, beta=0.5, window=window,
+            interpret=interpret,
+        )
+
+    @jax.jit
+    def _phase2(parts, aux):
+        pos_k, vel_k, ncon_k, rows_s, starts, cnt, overflow, perm = parts
+        n_k = rows_s.shape[-1]
+        pos_k, vel_k, ncon_k, n_over = p2ps._p2p_chunked_fallback(
+            (pos_k, vel_k, ncon_k), rows_s, starts, cnt, overflow, 0.5,
+            min(fallback_capacity, n_k),
+        )
+        aux_s = aux[:, perm]
+        # walls + integrate are elementwise: run them in sorted order
+        st = ParticleState(
+            pos=pos_k,
+            vel=vel_k,
+            collisions=aux_s[0],
+            radius=rows_s[6],
+            restitution=rows_s[7],
+        )
+        st = p2p_ops.box_walls_collide(st, box_lo, box_hi, gravity, cfg.dt)
+        new_pos, new_vel = integrate(st.pos, st.vel, gravity, cfg.dt)
+        rows_out = jnp.concatenate([new_pos, new_vel, rows_s[6:8]], axis=0)
+        aux_out = jnp.stack([aux_s[0] + ncon_k, aux_s[1]])
+        return rows_out, aux_out, n_over
+
+    @jax.jit
+    def _restore(rows8, aux):
+        n_k = rows8.shape[-1]
+        _, inv = jax.lax.sort(
+            (aux[1], jnp.arange(n_k, dtype=jnp.int32)), num_keys=1
+        )
+        return rows8[:, inv], aux[:, inv]
+
+    def run(state: ParticleState, num_steps: int) -> ParticleState:
+        n = state.pos.shape[-1]
+        n_k = ((n + BLOCK - 1) // BLOCK) * BLOCK
+        rows8 = jnp.concatenate(
+            [
+                state.pos,
+                state.vel,
+                state.radius[None],
+                state.restitution[None],
+            ],
+            axis=0,
+        )
+        if n_k > n:
+            rows8 = jnp.concatenate(
+                [rows8, p2ps._pad_columns(n_k - n)], axis=1
+            )
+        aux = jnp.stack(
+            [
+                jnp.concatenate(
+                    [
+                        state.collisions,
+                        jnp.zeros((n_k - n,), dtype=jnp.int32),
+                    ]
+                ),
+                jnp.arange(n_k, dtype=jnp.int32),
+            ]
+        )
+        for _ in range(num_steps):
+            rows8, aux, _ = _phase2(_phase1(rows8), aux)
+        rows8, aux = _restore(rows8, aux)
+        return state._replace(
+            pos=rows8[0:3, :n],
+            vel=rows8[3:6, :n],
+            collisions=aux[0, :n],
+        )
+
+    return run
+
+
 def _window_plan(cid_s, cells2, window: int, nb: int, active_s=None):
     """Per-SUBLANE window geometry for the sorted kernel.
 

@@ -64,43 +64,6 @@ def check_meta(meta: pg.PGridMeta) -> None:
         )
 
 
-def _sorted_csr(state: ParticleState, meta: pg.PGridMeta, active, n_pad: int):
-    """Shared front half: pad to ``n_pad``, sort by cell id, permute planar
-    rows, histogram CSR offsets.  Returns
-    (cid_s, perm, rows_s, offsets) with parked (inactive/padding) particles
-    keyed to the pseudo-cell ``num_cells`` (sorted last, never a candidate).
-    """
-    pos, velo = state.pos, state.vel
-    n = pos.shape[-1]
-    num_cells = meta.num_cells
-
-    cx, cy, cz = pg.cell_coords(pos, meta)
-    cid = pg.linear_cell(cx, cy, cz, meta)
-    if active is not None:
-        cid_key = jnp.where(active, cid, num_cells)
-    else:
-        cid_key = cid
-
-    rows = jnp.concatenate(
-        [pos, velo, state.radius[None], state.restitution[None]], axis=0
-    )  # [8, N]
-    if n_pad > n:
-        cid_key = jnp.concatenate(
-            [cid_key, jnp.full((n_pad - n,), num_cells, dtype=jnp.int32)]
-        )
-        rows = jnp.concatenate([rows, _pad_columns(n_pad - n)], axis=1)
-
-    ids = jnp.arange(n_pad, dtype=jnp.int32)
-    cid_s, perm = jax.lax.sort((cid_key, ids), num_keys=1)
-    rows_s = rows[:, perm]
-
-    counts = jnp.zeros((num_cells + 1,), jnp.int32).at[cid_key].add(1)
-    offsets = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
-    )  # i32[C+2]; offsets[C] = number of active particles
-    return cid_s, perm, rows_s, offsets
-
-
 def _pad_columns(k: int) -> jnp.ndarray:
     """[8, k] padding rows: sentinel positions but SANE radius/velocity.
     An all-1e38 column poisons masked lanes that gather it: radius 1e38
@@ -358,10 +321,62 @@ def p2p_window_phase1(
     check_meta(meta)
     n = state.pos.shape[-1]
     n_k = ((n + BLOCK - 1) // BLOCK) * BLOCK
+
+    pos, velo = state.pos, state.vel
+    cx, cy, cz = pg.cell_coords(pos, meta)
+    cid = pg.linear_cell(cx, cy, cz, meta)
+    if active is not None:
+        cid_key = jnp.where(active, cid, meta.num_cells)
+    else:
+        cid_key = cid
+    rows = jnp.concatenate(
+        [pos, velo, state.radius[None], state.restitution[None]], axis=0
+    )  # [8, N]
+    if n_k > n:
+        cid_key = jnp.concatenate(
+            [cid_key, jnp.full((n_k - n,), meta.num_cells, dtype=jnp.int32)]
+        )
+        rows = jnp.concatenate([rows, _pad_columns(n_k - n)], axis=1)
+
+    return _phase1_core(
+        rows, cid_key, meta, beta=beta, window=window, interpret=interpret
+    )
+
+
+def _phase1_core(
+    rows,  # f32[8, n_k] (n_k a BLOCK multiple; sentinel columns allowed)
+    cid_key,  # i32[n_k]: linear cell id, parked particles = num_cells
+    meta: pg.PGridMeta,
+    *,
+    beta: float,
+    window: int,
+    interpret: bool,
+):
+    """Sort + CSR + per-sublane window plan + kernel, rows-level (shared
+    by the state-based phase 1 and the persistent-order episode runner)."""
+    from particlesystemhybridcollisiondetection_tpu.ops.pallas.p2p_window_kernel import (
+        BLOCK,
+        p2p_window_collide_sorted,
+    )
+    from particlesystemhybridcollisiondetection_tpu.ops.pallas.window_kernel import (
+        LANE,
+        SUB,
+    )
+
+    n_k = rows.shape[-1]
+    assert n_k % BLOCK == 0, n_k
     nb = n_k // BLOCK
     w = window
+    num_cells = meta.num_cells
 
-    cid_s, perm, rows_s, offsets = _sorted_csr(state, meta, active, n_k)
+    ids = jnp.arange(n_k, dtype=jnp.int32)
+    cid_s, perm = jax.lax.sort((cid_key, ids), num_keys=1)
+    rows_s = rows[:, perm]
+
+    counts = jnp.zeros((num_cells + 1,), jnp.int32).at[cid_key].add(1)
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+    )  # i32[C+2]; offsets[C] = number of active particles
     run_tab = _run_table(offsets, meta)
     starts, cnt = _run_bounds(cid_s, run_tab, meta)  # [9, n_k] each
 

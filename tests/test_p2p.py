@@ -372,3 +372,41 @@ def test_p2p_per_sublane_windows_cover_density_gradient():
     np.testing.assert_allclose(
         np.asarray(out.vel), np.asarray(ref.vel), rtol=1e-4, atol=1e-5
     )
+
+
+def test_p2p_episode_runner_matches_step_path():
+    """make_p2p_episode_runner (persistent sorted order, kernel interpret)
+    vs make_p2p_step (variant='sorted', original order each step) over a
+    multi-step episode.  Identical math composed in a different particle
+    order -- impulse accumulation order differs, so tolerances are float
+    tolerances, but contact counts and trajectories must agree."""
+    from particlesystemhybridcollisiondetection_tpu.core.step import (
+        make_p2p_episode_runner,
+    )
+
+    rng = np.random.default_rng(13)
+    n = 500  # padded to one 1024 block inside the runner
+    pos = rng.uniform(0.6, 5.4, size=(n, 3)).astype(F)
+    vel = (rng.normal(size=(n, 3)) * 2).astype(F)
+    radius = np.full(n, 0.12, dtype=F)
+    rest = np.full(n, 0.7, dtype=F)
+    s0 = _state(pos, vel, radius, rest)
+    cfg = SimConfig(particle_radius=0.12, dt=0.004)
+
+    step = make_p2p_step((0, 0, 0), (6, 6, 6), cfg, variant="sorted")
+    ref = s0
+    for _ in range(4):
+        ref = step(ref)
+
+    run = make_p2p_episode_runner((0, 0, 0), (6, 6, 6), cfg, interpret=True)
+    out = run(s0, 4)
+
+    np.testing.assert_array_equal(
+        np.asarray(out.collisions), np.asarray(ref.collisions)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.pos), np.asarray(ref.pos), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.vel), np.asarray(ref.vel), rtol=1e-3, atol=1e-4
+    )
