@@ -420,6 +420,8 @@ def make_p2p_step(
     variant: str = "auto",
     with_stats: bool = False,
     max_radius: Optional[float] = None,
+    window: int = 512,
+    fallback_capacity: int = 8192,
 ) -> StepFn:
     """Gravity-box step with particle-particle collisions + container walls
     (driver benchmark configs 1/2/4/5; capability extension over the
@@ -441,6 +443,10 @@ def make_p2p_step(
     ``max_radius``: largest particle radius in the state; the 27-cell
     stencil misses contacts when cell_size < 2 * max_radius, so this is
     asserted at build time (heterogeneous-radii runs must pass it).
+    ``window``/``fallback_capacity``: kernel-variant tuning (per-sublane
+    window size and exact-redo chunk size; see ops/p2p_sorted).  For the
+    kernel variant the reported "cell_overflow" stat counts particles
+    redone exactly by the window-overflow fallback (results stay exact).
     """
     from particlesystemhybridcollisiondetection_tpu.core.state import active_mask
     from particlesystemhybridcollisiondetection_tpu.ops import p2p as p2p_ops
@@ -475,12 +481,14 @@ def make_p2p_step(
         @jax.jit
         def _phase1(state: ParticleState):
             return p2ps.p2p_window_phase1(
-                state, meta, active=active_mask(state)
+                state, meta, active=active_mask(state), window=window
             )
 
         @jax.jit
         def _phase2(state: ParticleState, parts):
-            state, overflow = p2ps.p2p_window_phase2(state, parts)
+            state, overflow = p2ps.p2p_window_phase2(
+                state, parts, fallback_capacity=fallback_capacity
+            )
             state = p2p_ops.box_walls_collide(
                 state, box_lo, box_hi, gravity, cfg.dt
             )
