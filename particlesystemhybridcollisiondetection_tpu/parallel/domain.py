@@ -128,9 +128,22 @@ def make_domain_step(dcfg: DomainConfig, cfg: SimConfig, mesh: Mesh):
     Returned stats: i32[3] = (halo_overflow, migrate_overflow,
     grid_cell_overflow), summed over devices.
     """
+    from particlesystemhybridcollisiondetection_tpu.ops import p2p_sorted as p2ps
+
     gravity = jnp.asarray(cfg.gravity, dtype=jnp.float32)
     n_sh = dcfg.n_shards
     margin = dcfg.cell_size
+    meta = pg.make_meta(
+        (dcfg.box_lo[0], dcfg.box_lo[1], dcfg.box_lo[2]),
+        (dcfg.box_hi[0], dcfg.box_hi[1], dcfg.box_hi[2]),
+        dcfg.cell_size,
+        capacity=dcfg.grid_capacity,
+    )
+    # sorted-segment p2p when the grid shape permits: CSR runs cannot
+    # saturate, so no per-shard contact can be dropped one-sidedly (the
+    # slot table clips at grid_capacity; its drops are only COUNTED).
+    # The local sort/CSR are per-device ops -- shard_map-compatible.
+    use_sorted = meta.dims[2] >= 3
 
     def local_step(state: ParticleState):
         """Runs per device on its local [*, shard_capacity] slice."""
@@ -176,14 +189,12 @@ def make_domain_step(dcfg: DomainConfig, cfg: SimConfig, mesh: Mesh):
         n_loc = state.pos.shape[-1]
         merged = _concat(_concat(state, ghosts_from_left), ghosts_from_right)
         act_m = _active(merged)
-        own = jnp.arange(merged.pos.shape[-1]) < n_loc
-        meta = pg.make_meta(
-            (dcfg.box_lo[0], dcfg.box_lo[1], dcfg.box_lo[2]),
-            (dcfg.box_hi[0], dcfg.box_hi[1], dcfg.box_hi[2]),
-            dcfg.cell_size,
-            capacity=dcfg.grid_capacity,
-        )
-        merged, grid_of = p2p_ops.p2p_collide(merged, meta, active=act_m)
+        if use_sorted:
+            merged, grid_of = p2ps.p2p_collide_sorted(
+                merged, meta, active=act_m
+            )
+        else:
+            merged, grid_of = p2p_ops.p2p_collide(merged, meta, active=act_m)
         # ghosts' own updates are discarded; their owners compute the
         # mirrored response from their side of the exchange.
         state = _take(merged, jnp.arange(n_loc))
