@@ -75,9 +75,13 @@ N_GROUPS = 9
 
 
 def _p2p_kernel(
-    # scalar prefetch
-    ws_ref,  # i32[NB, 9, 8] lane-aligned per-sublane window starts
-    kcap_ref,  # i32[NB, 9]
+    # scalar prefetch -- FLAT 1-D layouts: SMEM pads each trailing 2-D
+    # tile to (8/16, 128), so an [NB, 9, 8] i32 array would occupy
+    # NB x 16 x 128 x 4 B (~8 MB at 1M particles, over the 1 MB SMEM
+    # budget); 1-D arrays pad only to the next 128 elements.
+    ws_ref,  # i32[NB*72]: [b, g, j] at b*72 + g*8 + j (lane-aligned
+    #          per-sublane window starts)
+    kcap_ref,  # i32[NB*9]: [b, g] at b*9 + g
     # inputs
     pos_ref,  # f32[3, 8, 128] sorted block
     vel_ref,  # f32[3, 8, 128]
@@ -102,7 +106,7 @@ def _p2p_kernel(
     b = pl.program_id(0)
 
     def dma(g, j):
-        ws_a = pl.multiple_of(ws_ref[b, g, j], LANE)
+        ws_a = pl.multiple_of(ws_ref[b * 72 + g * 8 + j], LANE)
         return pltpu.make_async_copy(
             rows_hbm.at[:, pl.ds(ws_a, w)],
             stage_ref.at[g, pl.ds(8 * j, 8), :],
@@ -149,7 +153,7 @@ def _p2p_kernel(
             dma(g, j).wait()
         rel = rel_ref[g]
         cnt = cnt_ref[g]
-        k_cap = kcap_ref[b, g]
+        k_cap = kcap_ref[b * N_GROUPS + g]
         win_ref[:] = jax.lax.dot_general(
             perm, stage_ref[g],
             (((1,), (0,)), ((), ())),
@@ -276,8 +280,9 @@ def p2p_window_collide_sorted(
         grid_spec=grid_spec,
         interpret=interpret,
     )(
-        ws,
-        k_cap,
+        # flat 1-D scalar prefetch (see _p2p_kernel's SMEM padding note)
+        ws.reshape(-1),
+        k_cap.reshape(-1),
         shape3(pos_s),
         shape3(vel_s),
         shape2(radius_s),
