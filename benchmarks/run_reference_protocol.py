@@ -34,7 +34,12 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=None, help="reference: lifetime_steps (2001)")
     ap.add_argument("--k-min", type=int, default=0, help="particle sweep 128^2 * 2^k (BenchmarkManager.cs:280-283)")
     ap.add_argument("--k-max", type=int, default=7)
-    ap.add_argument("--accuracy", action="store_true", default=True)
+    ap.add_argument(
+        "--accuracy", action=argparse.BooleanOptionalAction, default=True,
+        help="write per-particle results_acc CSVs (totals go into the "
+        "JSON summary regardless; --no-accuracy keeps large-k artifacts "
+        "committable -- the 262k CSV is already 13 MB gzipped)",
+    )
     ap.add_argument("--quick", action="store_true", help="1 run, 300 steps, k in {0, 2}")
     args = ap.parse_args()
 
