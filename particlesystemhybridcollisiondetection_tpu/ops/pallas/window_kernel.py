@@ -134,8 +134,13 @@ def _lane_gather(tab, idx):
 
 
 def _kernel(
-    # scalar prefetch
-    win_start_ref,  # i32[NB, 8] per-SUBLANE lane-aligned window starts
+    # scalar prefetch -- FLAT 1-D layouts: SMEM pads each trailing 2-D
+    # tile to (8, 128) i32, so an [NB, 8] window-start array costs
+    # NB/8 x 8 x 128 x 4 B = exactly 1.00 MB at 2M particles (NB=2048),
+    # blowing the 1 MB SMEM budget (observed: k=7 protocol compile
+    # failure).  1-D arrays pad only to the next 128 elements.
+    win_start_ref,  # i32[NB*8]: [b, j] at b*8 + j, per-SUBLANE
+    #                 lane-aligned window starts
     k_cap_ref,  # i32[NB]
     # inputs
     pos_ref,  # f32[3, 8, 128] block (sorted)
@@ -170,7 +175,7 @@ def _kernel(
     # up front (latency hiding, as in the p2p kernel).
     copies = [
         pltpu.make_async_copy(
-            pairs_hbm.at[:, pl.ds(pl.multiple_of(win_start_ref[b, j], 128), w)],
+            pairs_hbm.at[:, pl.ds(pl.multiple_of(win_start_ref[b * SUB + j], 128), w)],
             stage_ref.at[pl.ds(16 * j, 16), :],
             sem.at[j],
         )
@@ -439,7 +444,8 @@ def window_collide_sorted(
         grid_spec=grid_spec,
         interpret=interpret,
     )(
-        win_start,
+        # flat 1-D scalar prefetch (see _kernel's SMEM padding note)
+        win_start.reshape(-1),
         k_cap,
         shape3(pos_s),
         shape3(vel_s),
