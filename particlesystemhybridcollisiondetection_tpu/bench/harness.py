@@ -73,21 +73,28 @@ def run_episode(
 ) -> EpisodeResult:
     """Roll + time one episode.
 
-    ``persistent``: for the spatial method on TPU, use the
+    ``persistent``: for the spatial and hybrid methods on TPU, use the
     persistent-sorted-order episode runner (lazy re-sort every
-    ``resort_every`` steps) -- the fastest path at 1M+.  Default: auto
-    (on for spatial on TPU, off elsewhere).  Implies chunked timing.
+    ``resort_every`` steps) -- the fastest path at 1M+ (hybrid mode runs
+    the screen-space stage on the sorted rows; see
+    make_sorted_episode_runner).  Default: auto (on for spatial/hybrid
+    on TPU, off elsewhere).  Implies chunked timing.
     """
     cfg = scene.config
     steps = num_steps if num_steps is not None else cfg.lifetime_steps
     if persistent is None:
         persistent = (
-            Method(method) == Method.SPATIAL
+            Method(method) in (Method.SPATIAL, Method.HYBRID)
             and jax.default_backend() == "tpu"
         )
-    if persistent and Method(method) == Method.SPATIAL and not per_step_timing:
+    if (
+        persistent
+        and Method(method) in (Method.SPATIAL, Method.HYBRID)
+        and not per_step_timing
+    ):
         return _run_episode_persistent(
-            scene, layers_y, steps, chunk, warmup_steps, resort_every
+            scene, layers_y, steps, chunk, warmup_steps, resort_every,
+            method=method, camera_index=camera_index,
         )
     step = make_method_step(scene, method, camera_index)
     state = spawn_grid(cfg, layers_y=layers_y)
@@ -146,7 +153,8 @@ def run_episode(
 
 
 def _run_episode_persistent(
-    scene, layers_y, steps, chunk, warmup_steps, resort_every
+    scene, layers_y, steps, chunk, warmup_steps, resort_every,
+    method: str = "spatial", camera_index: int = 0,
 ) -> EpisodeResult:
     from particlesystemhybridcollisiondetection_tpu.core.step import (
         make_sorted_episode_runner,
@@ -154,8 +162,11 @@ def _run_episode_persistent(
     from particlesystemhybridcollisiondetection_tpu.utils.profiling import fence
 
     cfg = scene.config
+    hybrid = Method(method) == Method.HYBRID
     run = make_sorted_episode_runner(
-        scene.triangles, cfg, resort_every=resort_every
+        scene.triangles, cfg, resort_every=resort_every,
+        camera=scene.cameras[camera_index] if hybrid else None,
+        normals=getattr(scene, "corner_normals", None) if hybrid else None,
     )
     state = spawn_grid(cfg, layers_y=layers_y)
     mask = np.asarray(active_mask(state))
@@ -185,8 +196,8 @@ def _run_episode_persistent(
     total_s = time.perf_counter() - t_start
 
     return EpisodeResult(
-        method="spatial",
-        camera=scene.cameras[0].name if scene.cameras else "none",
+        method=method,
+        camera=scene.cameras[camera_index].name if scene.cameras else "none",
         num_particles=n_particles,
         num_steps=timed_steps,
         step_ms=step_ms,

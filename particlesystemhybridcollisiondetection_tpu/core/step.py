@@ -1135,6 +1135,8 @@ def make_sorted_episode_runner(
     fallback_capacity: int = 8192,
     interpret: bool = False,
     resort_every: int = 1,
+    camera=None,
+    normals=None,
 ):
     """Episode runner with PERSISTENT sorted order.
 
@@ -1153,6 +1155,13 @@ def make_sorted_episode_runner(
     sort + permute entirely (the dominant glue cost at 1M).  Order drifts
     slowly: free fall preserves cell order, and settled particles rarely
     change cells, so drift-induced fallback work stays small.
+
+    ``camera``: when given, each step runs the HYBRID method instead of
+    pure spatial -- the screen-space stage (order-independent gathers
+    against the baked camera textures) runs on the sorted rows first and
+    its undecided mask gates the exact stage, exactly as in
+    ``make_hybrid_step_sorted`` but without that step's per-step
+    sort + unsort pair.
 
     Returns ``run(state, num_steps) -> state`` (original order).
     """
@@ -1175,6 +1184,35 @@ def make_sorted_episode_runner(
     packed, num_groups = pack_grid(grid, meta, group=group)
     gravity = jnp.asarray(cfg.gravity, dtype=jnp.float32)
     m_cap = fallback_capacity
+    if camera is not None:
+        from particlesystemhybridcollisiondetection_tpu.ops.screenspace import (
+            bake_camera,
+        )
+
+        tex = bake_camera(triangles, camera, normals)
+    else:
+        tex = None
+
+    def _ss_stage(rows8, aux, tex):
+        """Screen-space stage on the carried rows (hybrid mode): returns
+        (rows8', aux', undecided bool[N]).  Passed ``tex`` as a jit
+        ARGUMENT -- a closure-captured texture would put the planar
+        gather on XLA's scalar path (see CameraTextures.planar)."""
+        from particlesystemhybridcollisiondetection_tpu.ops.screenspace import (
+            screen_space_collide,
+        )
+
+        st = ParticleState(
+            pos=rows8[0:3],
+            vel=rows8[3:6],
+            collisions=aux[0],
+            radius=rows8[6],
+            restitution=rows8[7],
+        )
+        st, undec = screen_space_collide(st, tex, gravity, cfg.dt, hybrid=True)
+        rows8 = jnp.concatenate([st.pos, st.vel, rows8[6:8]], axis=0)
+        aux = jnp.stack([st.collisions, aux[1]])
+        return rows8, aux, undec
 
     # Carried state: rows8 f32[8, N] = pos3 vel3 radius restitution, plus
     # aux i32[2, N] = (collisions, original ids) SEPARATELY.  A single
@@ -1184,9 +1222,11 @@ def make_sorted_episode_runner(
     # one fusion up to ~35 ms/step at 1M.  The split keeps both gathers
     # on the planar fast layout.
     @jax.jit
-    def _step_rows(rows8, aux, tables, packed):
+    def _step_rows(rows8, aux, tables, packed, tex):
         n = rows8.shape[-1]
         nb = n // BLOCK
+        if tex is not None:
+            rows8, aux, undec = _ss_stage(rows8, aux, tex)
         pos = rows8[0:3]
         # sort by MORTON key (3D-local cells stay row-adjacent in the
         # morton-ordered pair table; see ops.grid.morton_key); cells2 is
@@ -1195,7 +1235,16 @@ def make_sorted_episode_runner(
         ids = jnp.arange(n, dtype=jnp.int32)
         _, perm = jax.lax.sort((key, ids), num_keys=1)
         rows_s = rows8[:, perm]
-        aux_s = aux[:, perm]
+        if tex is not None:
+            # fold the undecided mask into the aux permute (a separate
+            # 1-D bool gather would take the scalar path)
+            aux3 = jnp.concatenate([aux, undec[None].astype(jnp.int32)])
+            aux3_s = aux3[:, perm]
+            aux_s = aux3_s[0:2]
+            active_s = aux3_s[2] > 0
+        else:
+            aux_s = aux[:, perm]
+            active_s = None
         pos_s = rows_s[0:3]
         # linear cell id recomputed from the PERMUTED positions: cheaper
         # than carrying it as a third sort payload (elementwise vs one
@@ -1206,7 +1255,7 @@ def make_sorted_episode_runner(
         restit_s = rows_s[7]
 
         rel, count, ws, k_cap, overflow = _window_plan(
-            cid_s, tables.cells2, window, nb
+            cid_s, tables.cells2, window, nb, active_s=active_s
         )
 
         pos_k, vel_k, hit_k = window_collide_sorted(
@@ -1221,6 +1270,7 @@ def make_sorted_episode_runner(
             (pos_s, vel_s, radius_s, restit_s),
             overflow, count, packed, meta, num_groups, group, gravity, cfg,
             m_cap,
+            active_s=active_s,
         )
 
         # output stays in THIS step's sorted order
@@ -1232,9 +1282,14 @@ def make_sorted_episode_runner(
     # the (approximately sorted) raw cid sequence and the chunked
     # fallback exactly redoes whatever no longer fits its block's window
     @jax.jit
-    def _step_lazy(rows8, aux, tables, packed):
+    def _step_lazy(rows8, aux, tables, packed, tex):
         n = rows8.shape[-1]
         nb = n // BLOCK
+        if tex is not None:
+            rows8, aux, undec = _ss_stage(rows8, aux, tex)
+            active_s = undec
+        else:
+            active_s = None
         pos_s = rows8[0:3]
         vel_s = rows8[3:6]
         radius_s = rows8[6]
@@ -1242,7 +1297,7 @@ def make_sorted_episode_runner(
         cid = cell_index(pos_s, meta)
 
         rel, count, ws, k_cap, overflow = _window_plan(
-            cid, tables.cells2, window, nb
+            cid, tables.cells2, window, nb, active_s=active_s
         )
 
         pos_k, vel_k, hit_k = window_collide_sorted(
@@ -1257,6 +1312,7 @@ def make_sorted_episode_runner(
             (pos_s, vel_s, radius_s, restit_s),
             overflow, count, packed, meta, num_groups, group, gravity, cfg,
             m_cap,
+            active_s=active_s,
         )
 
         out8 = jnp.concatenate([pos_k, vel_k, rows8[6:8]], axis=0)
@@ -1286,7 +1342,7 @@ def make_sorted_episode_runner(
         aux = jnp.stack([state.collisions, jnp.arange(n, dtype=jnp.int32)])
         for i in range(num_steps):
             fn = _step_rows if i % resort_every == 0 else _step_lazy
-            rows8, aux, _ = fn(rows8, aux, tables, packed)
+            rows8, aux, _ = fn(rows8, aux, tables, packed, tex)
         rows8, aux = _restore(rows8, aux)
         return state._replace(
             pos=rows8[0:3],

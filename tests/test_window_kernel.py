@@ -26,10 +26,12 @@ from particlesystemhybridcollisiondetection_tpu.geometry.scenes import sample_sc
 
 
 def _fast_scene():
-    """sample_scene with 10x dt so first impacts land within ~100 steps --
-    the smoke-tier analog of the 1300-step slow equivalence runs."""
+    """sample_scene with 20x dt so first impacts land within ~55 steps --
+    the smoke-tier analog of the 1300-step slow equivalence runs.  (The
+    swept-sphere narrow phase is exact for any per-step travel, so the
+    large dt stresses rather than weakens the equivalence.)"""
     scene = sample_scene(width=128, height=128)
-    cfg = dataclasses.replace(scene.config, dt=scene.config.dt * 10)
+    cfg = dataclasses.replace(scene.config, dt=scene.config.dt * 20)
     return dataclasses.replace(scene, config=cfg)
 
 
@@ -43,7 +45,7 @@ def test_sorted_kernel_matches_packed_smoke():
 
     s = state
     checked = 0
-    for k in range(150):
+    for k in range(85):
         nxt = packed(s)
         if k % 25 == 0 or int(nxt.collisions.sum()) != int(s.collisions.sum()):
             ns = sorted_step(s)
@@ -74,9 +76,9 @@ def test_persistent_runner_matches_per_step_smoke():
     step = make_spatial_step_sorted(scene.triangles, cfg, interpret=True)
     runner = make_sorted_episode_runner(scene.triangles, cfg, interpret=True)
     s = state
-    for _ in range(130):
+    for _ in range(75):
         s = step(s)
-    r = runner(state, 130)
+    r = runner(state, 75)
     np.testing.assert_array_equal(
         np.asarray(r.collisions)[mask], np.asarray(s.collisions)[mask]
     )
@@ -104,9 +106,9 @@ def test_lazy_resort_runner_matches_per_step_smoke():
         scene.triangles, cfg, interpret=True, resort_every=7
     )
     s = state
-    for _ in range(130):
+    for _ in range(75):
         s = step(s)
-    r = runner(state, 130)
+    r = runner(state, 75)
     np.testing.assert_array_equal(
         np.asarray(r.collisions)[mask], np.asarray(s.collisions)[mask]
     )
@@ -114,6 +116,38 @@ def test_lazy_resort_runner_matches_per_step_smoke():
         np.asarray(r.pos)[:, mask], np.asarray(s.pos)[:, mask],
         rtol=1e-6, atol=1e-7,
     )
+
+
+def test_hybrid_persistent_runner_matches_per_step_smoke():
+    """Hybrid-mode persistent runner (camera=...) == repeated
+    make_hybrid_step_sorted steps, including across lazy-resort
+    boundaries: same per-id trajectories and collision counts."""
+    from particlesystemhybridcollisiondetection_tpu.core.step import (
+        make_hybrid_step_sorted,
+        make_sorted_episode_runner,
+    )
+
+    scene = _fast_scene()
+    cfg = scene.config
+    cam = scene.cameras[0]
+    state = spawn_grid(cfg, layers_y=1)
+    mask = np.asarray(active_mask(state))
+    step = make_hybrid_step_sorted(scene.triangles, cfg, cam, interpret=True)
+    runner = make_sorted_episode_runner(
+        scene.triangles, cfg, interpret=True, resort_every=7, camera=cam
+    )
+    s = state
+    for _ in range(75):
+        s = step(s)
+    r = runner(state, 75)
+    np.testing.assert_array_equal(
+        np.asarray(r.collisions)[mask], np.asarray(s.collisions)[mask]
+    )
+    np.testing.assert_allclose(
+        np.asarray(r.pos)[:, mask], np.asarray(s.pos)[:, mask],
+        rtol=1e-6, atol=1e-7,
+    )
+    assert int(np.asarray(s.collisions)[mask].sum()) > 0
 
 
 def test_hybrid_sorted_matches_hybrid_packed_smoke():
@@ -131,7 +165,7 @@ def test_hybrid_sorted_matches_hybrid_packed_smoke():
     b_step = make_hybrid_step_sorted(scene.triangles, cfg, cam, interpret=True)
     s = state
     checked = 0
-    for k in range(150):
+    for k in range(85):
         na = a_step(s)
         if k % 30 == 0 or int(na.collisions.sum()) != int(s.collisions.sum()):
             nb = b_step(s)
