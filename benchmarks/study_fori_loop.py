@@ -45,13 +45,19 @@ def main() -> int:
     state = spawn_grid(scene.config, layers_y=args.layers)
     step = make_spatial_step_sorted(scene.triangles, scene.config)
 
-    def timed(label, fn, st, reps=3):
-        fn(st)  # compile + warm
-        fence(st.pos)
+    def timed(label, fn, st, reps=3, clone=False):
+        def inp():
+            # donation deletes the input; hand each call its own copy
+            return jax.tree.map(jnp.array, st) if clone else st
+
+        out = fn(inp())  # compile + warm
+        fence(out.pos)
         best = float("inf")
         for _ in range(reps):
+            x = inp()
+            fence(x.pos)
             t0 = time.perf_counter()
-            out = fn(st)
+            out = fn(x)
             fence(out.pos)
             best = min(best, (time.perf_counter() - t0) * 1000.0 / args.steps)
         print(f"{label:42s} {best:8.3f} ms/step", flush=True)
@@ -85,7 +91,7 @@ def main() -> int:
     a = timed("A python-loop dispatch", py_loop, state)
     b = timed("B lax.fori_loop", fori, state)
     c = timed("C lax.scan", scan, state)
-    d = timed("D fori_loop + donate_argnums", fori_don, state)
+    d = timed("D fori_loop + donate_argnums", fori_don, state, clone=True)
     print(f"fori/python ratio: {b / a:.2f}x   scan/python: {c / a:.2f}x   "
           f"fori+donate/python: {d / a:.2f}x")
 

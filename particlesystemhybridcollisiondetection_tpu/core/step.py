@@ -1383,13 +1383,17 @@ def sorted_step_overflow_count(triangles, cfg: SimConfig, state, window: int = 5
 def make_episode_runner(step: StepFn, num_steps: int) -> Callable[[ParticleState], ParticleState]:
     """Roll an episode fully on device: ``lax.fori_loop`` over the step.
 
-    NOTE: convenient for small states/tests, but on TPU the fori-wrapped
-    Pallas step was measured 4.7x slower than dispatching the jitted step
-    from Python (XLA compiles the loop body more conservatively); the
-    benchmark harness dispatches from Python for that reason.  Do NOT wrap
-    make_p2p_step's kernel variant: tracing re-fuses its two deliberately
-    separate programs into the monolithic form that crashes the TPU
-    worker at 1M (see ops.p2p_sorted.p2p_window_phase1).
+    NOTE (history): round 1 measured the fori-wrapped sorted step 4.7x
+    slower than Python dispatch.  Re-measured on the current pipeline
+    (benchmarks/study_fori_loop.py, v5e, 2026-08-17): fori_loop, scan,
+    and fori+donation are all at PARITY with Python dispatch (0.96-0.99x
+    at 262k and 1M) -- the anomaly was a property of the round-1 step
+    (captured-constant tables inside the loop body), not of fori_loop.
+    The harness still dispatches from Python because the persistent
+    sorted runner needs its Python-side resort_every step alternation.
+    Do NOT wrap make_p2p_step's kernel variant: tracing re-fuses its two
+    deliberately separate programs into the monolithic form that crashes
+    the TPU worker at 1M (see ops.p2p_sorted.p2p_window_phase1).
     """
 
     @jax.jit
