@@ -41,6 +41,11 @@ def main() -> int:
         "committable -- the 262k CSV is already 13 MB gzipped)",
     )
     ap.add_argument("--quick", action="store_true", help="1 run, 300 steps, k in {0, 2}")
+    ap.add_argument(
+        "--methods", default="screen_space,spatial,hybrid",
+        help="comma-separated subset (e.g. re-measure one method after a "
+        "perf change; merge rows into the main artifact afterwards)",
+    )
     args = ap.parse_args()
 
     from particlesystemhybridcollisiondetection_tpu.bench.harness import run_benchmark
@@ -61,7 +66,7 @@ def main() -> int:
         print(f"=== {scene.name}: 2^{k} layers = {n} particles ===", flush=True)
         results = run_benchmark(
             scene,
-            methods=("screen_space", "spatial", "hybrid"),
+            methods=tuple(args.methods.split(",")),
             layers_y=layers,
             num_steps=args.steps,
             num_runs=args.runs,

@@ -1127,6 +1127,43 @@ def _jit_maybe_sharded(body, mesh, axis_name: str):
     return jax.jit(wrapper)
 
 
+def _jit_maybe_sharded_rows(fn, mesh, axis_name: str, n_stats: int):
+    """jit a rows-level function ``fn(rows8, aux, *tabs) -> (rows8', aux',
+    stat...)``; with a mesh, shard_map it: the particle axis (last) of
+    rows8/aux is sharded, table args are replicated, trailing scalar
+    stats are psum'd.  Per-shard sorts never migrate particles across
+    shards (the sort is a locality hint, not a semantic ordering), so
+    the persistent order -- and the final per-shard id restore -- stays
+    purely local; no collective touches the hot path."""
+    if mesh is None:
+        return jax.jit(fn)
+    from jax.sharding import PartitionSpec as P
+
+    def sharded(rows8, aux, *tabs):
+        out = fn(rows8, aux, *tabs)
+        rows_o, aux_o = out[0], out[1]
+        stats = tuple(jax.lax.psum(s, axis_name) for s in out[2:])
+        return (rows_o, aux_o, *stats)
+
+    def wrapper(rows8, aux, *tabs):
+        rep = jax.tree.map(lambda _: P(), tabs)
+        f = jax.shard_map(
+            sharded,
+            mesh=mesh,
+            in_specs=(P(None, axis_name), P(None, axis_name), *rep),
+            out_specs=(
+                P(None, axis_name),
+                P(None, axis_name),
+                *([P()] * n_stats),
+            ),
+            # pallas_call inside shard_map has no vma annotations yet
+            check_vma=False,
+        )
+        return f(rows8, aux, *tabs)
+
+    return jax.jit(wrapper)
+
+
 def make_sorted_episode_runner(
     triangles,
     cfg: SimConfig,
@@ -1137,6 +1174,8 @@ def make_sorted_episode_runner(
     resort_every: int = 1,
     camera=None,
     normals=None,
+    mesh=None,
+    axis_name: str = "data",
 ):
     """Episode runner with PERSISTENT sorted order.
 
@@ -1162,6 +1201,13 @@ def make_sorted_episode_runner(
     its undecided mask gates the exact stage, exactly as in
     ``make_hybrid_step_sorted`` but without that step's per-step
     sort + unsort pair.
+
+    ``mesh``: optional 1-D device mesh -- the whole runner goes
+    multi-chip via shard_map with PER-SHARD persistent order (local
+    sorts never migrate particles between shards, so the carried order
+    and the final id restore stay shard-local; tables/textures are
+    replicated and no collective touches the hot path).  Requires the
+    padded particle count divisible by ``1024 * n_shards``.
 
     Returns ``run(state, num_steps) -> state`` (original order).
     """
@@ -1221,7 +1267,6 @@ def make_sorted_episode_runner(
     # a transposed {0,1} layout (trailing-dim-10 (8,128) tiles), blowing
     # one fusion up to ~35 ms/step at 1M.  The split keeps both gathers
     # on the planar fast layout.
-    @jax.jit
     def _step_rows(rows8, aux, tables, packed, tex):
         n = rows8.shape[-1]
         nb = n // BLOCK
@@ -1281,7 +1326,6 @@ def make_sorted_episode_runner(
     # no-sort variant: current order kept as-is; the window plan runs on
     # the (approximately sorted) raw cid sequence and the chunked
     # fallback exactly redoes whatever no longer fits its block's window
-    @jax.jit
     def _step_lazy(rows8, aux, tables, packed, tex):
         n = rows8.shape[-1]
         nb = n // BLOCK
@@ -1319,17 +1363,24 @@ def make_sorted_episode_runner(
         out_aux = jnp.stack([aux[0] + hit_k, aux[1]])
         return out8, out_aux, n_over
 
-    @jax.jit
     def _restore(rows8, aux):
+        # per-shard id sort == global order restore: local sorts never
+        # move a particle across shards, and each shard's id set is its
+        # original contiguous slice
         n = rows8.shape[-1]
         _, inv = jax.lax.sort(
             (aux[1], jnp.arange(n, dtype=jnp.int32)), num_keys=1
         )
         return rows8[:, inv], aux[:, inv]
 
+    _step_rows = _jit_maybe_sharded_rows(_step_rows, mesh, axis_name, 1)
+    _step_lazy = _jit_maybe_sharded_rows(_step_lazy, mesh, axis_name, 1)
+    _restore = _jit_maybe_sharded_rows(_restore, mesh, axis_name, 0)
+
     def run(state: ParticleState, num_steps: int) -> ParticleState:
         n = state.pos.shape[-1]
-        assert n % BLOCK == 0, n
+        shards = 1 if mesh is None else mesh.devices.size
+        assert n % (BLOCK * shards) == 0, (n, shards)
         rows8 = jnp.concatenate(
             [
                 state.pos,

@@ -357,6 +357,40 @@ def test_sorted_sharded_matches_single_device():
         assert int(st_sh["window_overflow"]) == int(st_ref["window_overflow"])
 
 
+def test_persistent_runner_sharded_matches_single_device():
+    """mesh= on the persistent runner: per-SHARD persistent order (local
+    sorts never migrate particles, the id restore is shard-local) must
+    reproduce the single-device runner exactly, spatial and hybrid."""
+    from particlesystemhybridcollisiondetection_tpu.core.step import (
+        make_sorted_episode_runner,
+    )
+    import jax
+    from jax.sharding import Mesh
+
+    scene = _fast_scene()
+    cfg = scene.config
+    cam = scene.cameras[0]
+    state = spawn_grid(cfg, layers_y=1, pad_multiple=8 * 1024)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+
+    for camera in (None, cam):
+        single = make_sorted_episode_runner(
+            scene.triangles, cfg, interpret=True, resort_every=3,
+            camera=camera,
+        )
+        sharded = make_sorted_episode_runner(
+            scene.triangles, cfg, interpret=True, resort_every=3,
+            camera=camera, mesh=mesh,
+        )
+        a = single(state, 5)
+        b = sharded(state, 5)
+        np.testing.assert_array_equal(
+            np.asarray(b.collisions), np.asarray(a.collisions)
+        )
+        np.testing.assert_array_equal(np.asarray(b.pos), np.asarray(a.pos))
+        np.testing.assert_array_equal(np.asarray(b.vel), np.asarray(a.vel))
+
+
 def test_hybrid_sorted_sharded_matches_single_device():
     from particlesystemhybridcollisiondetection_tpu.core.step import (
         make_hybrid_step_sorted,
