@@ -674,14 +674,24 @@ def _window_plan(cid_s, cells2, window: int, nb: int, active_s=None):
     )
 
     n = cid_s.shape[0]
-    # planar [2, C] axis-1 gather: hits XLA's fast vectorized gather path
-    # (0.04 ms at 1M vs 23 ms for the round-1 [C, 2] row gather; see
-    # WindowTables.cells2)
+    # planar [2, C] axis-1 gather: ~6.3 ns/index on v5e (6.3 ms at 1M --
+    # see BASELINE.md gather notes); the coded-plan variant below moves
+    # this lookup into a Pallas kernel and is the TPU default
     info = cells2[:, cid_s]  # [2, N]
     start = info[0]
     count = info[1]
     if active_s is not None:
         count = jnp.where(active_s, count, 0)  # decided -> no candidates
+    return _plan_tail(start, count, window, nb)
+
+
+def _plan_tail(start, count, window: int, nb: int, miss=None):
+    from particlesystemhybridcollisiondetection_tpu.ops.pallas.window_kernel import (
+        LANE,
+        SUB,
+    )
+
+    n = start.shape[0]
     big = jnp.int32(1 << 30)
     sb = jnp.where(count > 0, start, big).reshape(nb * SUB, LANE)
     cb = count.reshape(nb * SUB, LANE)
@@ -692,8 +702,73 @@ def _window_plan(cid_s, cells2, window: int, nb: int, active_s=None):
     rel = start - jnp.broadcast_to(ws[:, None], (nb * SUB, LANE)).reshape(n)
     rel = jnp.where(count > 0, rel, 0)
     overflow = (count > 0) & ((rel < 0) | (rel + count > window))
+    if miss is not None:
+        overflow = overflow | miss
     rel = jnp.clip(rel, 0, window - 1)
     return rel, count, ws.reshape(nb, SUB), k_cap, overflow
+
+
+_CODE_WC = 512  # per-sublane code-window size (bunny 1M settled: p99
+#                 span 291 codes, <=0.4% of particles miss at 512)
+
+
+def _window_plan_coded(
+    key_s, ctab, window: int, nb: int, *, interpret: bool = False,
+    active_s=None,
+):
+    """_window_plan with the (start, count) lookup done by the Pallas
+    cells-window kernel instead of the ~6.3 ns/index XLA gather: sorted
+    particles' Morton codes are sublane-compact, so each sublane DMAs a
+    [1, _CODE_WC] slice of the code-indexed table and gathers in-register
+    (ops/pallas/window_kernel.py::cells_window_lookup).  Lookup misses
+    (code past the sublane window, or count>=255 cells) are folded into
+    the overflow mask -> exact fallback."""
+    from particlesystemhybridcollisiondetection_tpu.ops.pallas.window_kernel import (
+        LANE,
+        SUB,
+        cells_window_lookup,
+    )
+
+    rows = key_s.reshape(nb * SUB, LANE)
+    # two windows per sublane: anchored at the row min and ENDING at the
+    # row max -- drifted settled rows go bimodal in code space (lock-step
+    # cell-boundary oscillation; see _cells_kernel), and min-only windows
+    # then miss ~90% of the pile
+    lo = (jnp.min(rows, axis=1) // 128) * 128
+    hi = jnp.maximum(
+        ((jnp.max(rows, axis=1) - _CODE_WC + 128) // 128) * 128, 0
+    )
+    start, count = cells_window_lookup(
+        key_s, lo.reshape(-1).astype(jnp.int32),
+        hi.reshape(-1).astype(jnp.int32), ctab,
+        wc=_CODE_WC, interpret=interpret,
+    )
+    miss = count < 0
+    count = jnp.where(miss, 0, count)
+    if active_s is not None:
+        count = jnp.where(active_s, count, 0)
+        miss = miss & active_s  # decided particles skip the exact stage
+    return _plan_tail(start, count, window, nb, miss=miss)
+
+
+def _maybe_code_table(grid, meta, cells_lookup: str):
+    """Build the code-indexed cells table when the in-kernel lookup is
+    requested ("kernel") or auto-enabled (TPU backend + pair count under
+    the 24-bit packed-start limit)."""
+    import numpy as _np
+
+    from particlesystemhybridcollisiondetection_tpu.ops.pallas.window_kernel import (
+        build_code_table,
+    )
+
+    pairs = int(_np.asarray(grid.offsets)[-1])
+    if cells_lookup == "kernel":
+        use = True
+    elif cells_lookup == "auto":
+        use = jax.default_backend() == "tpu" and pairs < (1 << 24)
+    else:
+        use = False
+    return build_code_table(grid, meta, _CODE_WC) if use else None
 
 
 def _chunked_fallback(
@@ -784,6 +859,7 @@ def make_hybrid_step_sorted(
     with_stats: bool = False,
     mesh=None,
     axis_name: str = "data",
+    cells_lookup: str = "auto",
 ) -> StepFn:
     """Hybrid method with the sorted block-window Pallas kernel as the
     exact fallback stage.
@@ -818,12 +894,13 @@ def make_hybrid_step_sorted(
     grid, meta = build_triangle_grid(triangles, cfg.grid)
     window = _auto_window(window, meta)
     tables = build_window_tables(grid, meta, window)
+    ctab = _maybe_code_table(grid, meta, cells_lookup)
     group = 8
     packed, num_groups = pack_grid(grid, meta, group=group)
     gravity = jnp.asarray(cfg.gravity, dtype=jnp.float32)
     m_cap = fallback_capacity
 
-    def _body(state: ParticleState, tex, tables, packed):
+    def _body(state: ParticleState, tex, tables, packed, ctab):
         state, undecided = screen_space_collide(
             state, tex, gravity, cfg.dt, hybrid=True
         )
@@ -837,7 +914,7 @@ def make_hybrid_step_sorted(
         # still indexed by the linear cell id
         key = morton_key(pos, meta)
         ids = jnp.arange(n, dtype=jnp.int32)
-        _, perm = jax.lax.sort((key, ids), num_keys=1)
+        key_s, perm = jax.lax.sort((key, ids), num_keys=1)
         rows = jnp.concatenate(
             [pos, vel, state.radius[None], state.restitution[None],
              undecided[None].astype(jnp.float32)],
@@ -845,18 +922,23 @@ def make_hybrid_step_sorted(
         )  # [9, N]
         rows_s = rows[:, perm]
         pos_s = rows_s[0:3]
-        # linear cell id recomputed from the PERMUTED positions: cheaper
-        # than carrying it as a third sort payload (elementwise vs one
-        # more i32[N] through every merge pass)
-        cid_s = cell_index(pos_s, meta)
         vel_s = rows_s[3:6]
         radius_s = rows_s[6]
         restit_s = rows_s[7]
         active_s = rows_s[8] > 0.5
 
-        rel, count, ws, k_cap, overflow = _window_plan(
-            cid_s, tables.cells2, window, nb, active_s=active_s
-        )
+        if ctab is not None:
+            rel, count, ws, k_cap, overflow = _window_plan_coded(
+                key_s, ctab, window, nb, interpret=interpret,
+                active_s=active_s,
+            )
+        else:
+            # linear cell id recomputed from the PERMUTED positions:
+            # cheaper than carrying it as a third sort payload
+            cid_s = cell_index(pos_s, meta)
+            rel, count, ws, k_cap, overflow = _window_plan(
+                cid_s, tables.cells2, window, nb, active_s=active_s
+            )
 
         pos_k, vel_k, hit_k = window_collide_sorted(
             pos_s, vel_s, radius_s, restit_s, rel, count, ws, k_cap, tables,
@@ -893,10 +975,10 @@ def make_hybrid_step_sorted(
 
     if with_stats:
         def step(state: ParticleState):
-            return _step(state, tex, tables, packed)
+            return _step(state, tex, tables, packed, ctab)
     else:
         def step(state: ParticleState) -> ParticleState:
-            return _step(state, tex, tables, packed)[0]
+            return _step(state, tex, tables, packed, ctab)[0]
 
     return step
 
@@ -964,6 +1046,7 @@ def make_spatial_step_sorted(
     with_stats: bool = False,
     mesh=None,
     axis_name: str = "data",
+    cells_lookup: str = "auto",
 ) -> StepFn:
     """Spatial method via the sorted block-window Pallas kernel (see
     ops/pallas/window_kernel.py) -- the TPU performance path.
@@ -1001,6 +1084,7 @@ def make_spatial_step_sorted(
     grid, meta = build_triangle_grid(triangles, cfg.grid)
     window = _auto_window(window, meta)
     tables = build_window_tables(grid, meta, window)
+    ctab = _maybe_code_table(grid, meta, cells_lookup)
     group = 8
     packed, num_groups = pack_grid(grid, meta, group=group)
     gravity = jnp.asarray(cfg.gravity, dtype=jnp.float32)
@@ -1009,7 +1093,7 @@ def make_spatial_step_sorted(
     # big tables enter as traced arguments, NOT closure captures: captured
     # device arrays are serialized into the compile payload (observed as
     # HTTP 413 on the remote-compile path at ~190 MB)
-    def _body(state: ParticleState, tables, packed):
+    def _body(state: ParticleState, tables, packed, ctab):
         pos, vel = state.pos, state.vel
         n = pos.shape[-1]
         assert n % BLOCK == 0, (
@@ -1023,7 +1107,7 @@ def make_spatial_step_sorted(
         # still indexed by the linear cell id
         key = morton_key(pos, meta)
         ids = jnp.arange(n, dtype=jnp.int32)
-        _, perm = jax.lax.sort((key, ids), num_keys=1)
+        key_s, perm = jax.lax.sort((key, ids), num_keys=1)
 
         # [8, N] layout: axis-1 gather avoids the 16x (8,128)-tile padding
         # a trailing-8 row matrix would incur
@@ -1032,17 +1116,21 @@ def make_spatial_step_sorted(
         )  # [8, N]
         rows_s = rows[:, perm]
         pos_s = rows_s[0:3]
-        # linear cell id recomputed from the PERMUTED positions: cheaper
-        # than carrying it as a third sort payload (elementwise vs one
-        # more i32[N] through every merge pass)
-        cid_s = cell_index(pos_s, meta)
         vel_s = rows_s[3:6]
         radius_s = rows_s[6]
         restit_s = rows_s[7]
 
-        rel, count, ws, k_cap, overflow = _window_plan(
-            cid_s, tables.cells2, window, nb
-        )
+        if ctab is not None:
+            rel, count, ws, k_cap, overflow = _window_plan_coded(
+                key_s, ctab, window, nb, interpret=interpret
+            )
+        else:
+            # linear cell id recomputed from the PERMUTED positions:
+            # cheaper than carrying it as a third sort payload
+            cid_s = cell_index(pos_s, meta)
+            rel, count, ws, k_cap, overflow = _window_plan(
+                cid_s, tables.cells2, window, nb
+            )
 
         pos_k, vel_k, hit_k = window_collide_sorted(
             pos_s, vel_s, radius_s, restit_s, rel, count, ws, k_cap, tables,
@@ -1079,10 +1167,10 @@ def make_spatial_step_sorted(
 
     if with_stats:
         def step(state: ParticleState):
-            return _step(state, tables, packed)
+            return _step(state, tables, packed, ctab)
     else:
         def step(state: ParticleState) -> ParticleState:
-            return _step(state, tables, packed)[0]
+            return _step(state, tables, packed, ctab)[0]
 
     return step
 
@@ -1176,6 +1264,7 @@ def make_sorted_episode_runner(
     normals=None,
     mesh=None,
     axis_name: str = "data",
+    cells_lookup: str = "auto",
 ):
     """Episode runner with PERSISTENT sorted order.
 
@@ -1226,6 +1315,7 @@ def make_sorted_episode_runner(
     grid, meta = build_triangle_grid(triangles, cfg.grid)
     window = _auto_window(window, meta)
     tables = build_window_tables(grid, meta, window)
+    ctab = _maybe_code_table(grid, meta, cells_lookup)
     group = 8
     packed, num_groups = pack_grid(grid, meta, group=group)
     gravity = jnp.asarray(cfg.gravity, dtype=jnp.float32)
@@ -1267,7 +1357,7 @@ def make_sorted_episode_runner(
     # a transposed {0,1} layout (trailing-dim-10 (8,128) tiles), blowing
     # one fusion up to ~35 ms/step at 1M.  The split keeps both gathers
     # on the planar fast layout.
-    def _step_rows(rows8, aux, tables, packed, tex):
+    def _step_rows(rows8, aux, tables, packed, tex, ctab):
         n = rows8.shape[-1]
         nb = n // BLOCK
         if tex is not None:
@@ -1278,7 +1368,7 @@ def make_sorted_episode_runner(
         # still indexed by the linear cell id
         key = morton_key(pos, meta)
         ids = jnp.arange(n, dtype=jnp.int32)
-        _, perm = jax.lax.sort((key, ids), num_keys=1)
+        key_s, perm = jax.lax.sort((key, ids), num_keys=1)
         rows_s = rows8[:, perm]
         if tex is not None:
             # fold the undecided mask into the aux permute (a separate
@@ -1291,17 +1381,22 @@ def make_sorted_episode_runner(
             aux_s = aux[:, perm]
             active_s = None
         pos_s = rows_s[0:3]
-        # linear cell id recomputed from the PERMUTED positions: cheaper
-        # than carrying it as a third sort payload (elementwise vs one
-        # more i32[N] through every merge pass)
-        cid_s = cell_index(pos_s, meta)
         vel_s = rows_s[3:6]
         radius_s = rows_s[6]
         restit_s = rows_s[7]
 
-        rel, count, ws, k_cap, overflow = _window_plan(
-            cid_s, tables.cells2, window, nb, active_s=active_s
-        )
+        if ctab is not None:
+            rel, count, ws, k_cap, overflow = _window_plan_coded(
+                key_s, ctab, window, nb, interpret=interpret,
+                active_s=active_s,
+            )
+        else:
+            # linear cell id recomputed from the PERMUTED positions:
+            # cheaper than carrying it as a third sort payload
+            cid_s = cell_index(pos_s, meta)
+            rel, count, ws, k_cap, overflow = _window_plan(
+                cid_s, tables.cells2, window, nb, active_s=active_s
+            )
 
         pos_k, vel_k, hit_k = window_collide_sorted(
             pos_s, vel_s, radius_s, restit_s, rel, count, ws, k_cap, tables,
@@ -1326,7 +1421,7 @@ def make_sorted_episode_runner(
     # no-sort variant: current order kept as-is; the window plan runs on
     # the (approximately sorted) raw cid sequence and the chunked
     # fallback exactly redoes whatever no longer fits its block's window
-    def _step_lazy(rows8, aux, tables, packed, tex):
+    def _step_lazy(rows8, aux, tables, packed, tex, ctab):
         n = rows8.shape[-1]
         nb = n // BLOCK
         if tex is not None:
@@ -1338,11 +1433,21 @@ def make_sorted_episode_runner(
         vel_s = rows8[3:6]
         radius_s = rows8[6]
         restit_s = rows8[7]
-        cid = cell_index(pos_s, meta)
 
-        rel, count, ws, k_cap, overflow = _window_plan(
-            cid, tables.cells2, window, nb, active_s=active_s
-        )
+        if ctab is not None:
+            # drifted order: codes recomputed elementwise; drifted
+            # particles that left their sublane's code window fold into
+            # the overflow -> exact fallback, like the pair windows
+            key = morton_key(pos_s, meta)
+            rel, count, ws, k_cap, overflow = _window_plan_coded(
+                key, ctab, window, nb, interpret=interpret,
+                active_s=active_s,
+            )
+        else:
+            cid = cell_index(pos_s, meta)
+            rel, count, ws, k_cap, overflow = _window_plan(
+                cid, tables.cells2, window, nb, active_s=active_s
+            )
 
         pos_k, vel_k, hit_k = window_collide_sorted(
             pos_s, vel_s, radius_s, restit_s, rel, count, ws, k_cap, tables,
@@ -1377,7 +1482,10 @@ def make_sorted_episode_runner(
     _step_lazy = _jit_maybe_sharded_rows(_step_lazy, mesh, axis_name, 1)
     _restore = _jit_maybe_sharded_rows(_restore, mesh, axis_name, 0)
 
-    def run(state: ParticleState, num_steps: int) -> ParticleState:
+    def run(state: ParticleState, num_steps: int, with_stats: bool = False):
+        """``with_stats=True``: also return per-step window-overflow
+        counts (list of device scalars) so window pressure is observable
+        from the persistent runner too."""
         n = state.pos.shape[-1]
         shards = 1 if mesh is None else mesh.devices.size
         assert n % (BLOCK * shards) == 0, (n, shards)
@@ -1391,15 +1499,19 @@ def make_sorted_episode_runner(
             axis=0,
         )
         aux = jnp.stack([state.collisions, jnp.arange(n, dtype=jnp.int32)])
+        overflows = []
         for i in range(num_steps):
             fn = _step_rows if i % resort_every == 0 else _step_lazy
-            rows8, aux, _ = fn(rows8, aux, tables, packed, tex)
+            rows8, aux, n_over = fn(rows8, aux, tables, packed, tex, ctab)
+            if with_stats:
+                overflows.append(n_over)
         rows8, aux = _restore(rows8, aux)
-        return state._replace(
+        out = state._replace(
             pos=rows8[0:3],
             vel=rows8[3:6],
             collisions=aux[0],
         )
+        return (out, overflows) if with_stats else out
 
     return run
 

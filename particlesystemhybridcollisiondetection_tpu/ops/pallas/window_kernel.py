@@ -67,12 +67,13 @@ class WindowTables(NamedTuple):
     # natural layout free, the same trick the p2p kernel uses for its
     # particle rows (p2p_window_kernel.py).
     pairs: jnp.ndarray  # f32[16, P_pad]
-    # (start, count) per cell as a PLANAR [2, C] i32 table.  Layout is
-    # load-bearing: XLA-on-TPU lowers a multi-row axis-1 gather from a
-    # jit *argument* to a fast vectorized path (~0.04 ms at 1M on v5e),
-    # while any 1-D gather -- and any gather from a closure-captured
-    # constant -- takes a ~9.5 ns/index scalar path (9.5-33 ms at 1M).
-    # Measured 2026-08 on v5e; see benchmarks/profile_sorted.py.
+    # (start, count) per cell as a PLANAR [2, C] i32 table.  Layout
+    # matters (multi-row axis-1 gather from a jit argument beats 1-D and
+    # captured-constant forms), but even the best XLA form costs ~6.3
+    # ns/index at grid-table sizes (6.3 ms at 1M, re-measured 2026-08-17;
+    # an earlier 0.04 ms reading did not hold up) -- which is why the TPU
+    # default is the in-kernel CodeTable lookup below; this table remains
+    # the portable/CPU plan and the fallback for >2^24-pair grids.
     cells2: jnp.ndarray  # i32[2, C]: row 0 = start, row 1 = count
 
 
@@ -117,6 +118,170 @@ def build_window_tables(grid: TriangleGrid, meta: GridMeta, w: int) -> WindowTab
     pt[:9, :p] = pairs[:, pair_perm]
     cells2 = np.stack([start_by_cell, counts], axis=0).astype(np.int32)
     return WindowTables(pairs=jnp.asarray(pt), cells2=jnp.asarray(cells2))
+
+
+class CodeTable(NamedTuple):
+    """Morton-CODE-indexed (start, count) table for the in-kernel cells
+    lookup.
+
+    The XLA planar gather ``cells2[:, cid]`` costs ~6.3 ms per 1M
+    indices on v5e (measured 2026-08-17; ~6.3 ns/index regardless of
+    index order -- the "0.04 ms" fast path recorded earlier does not
+    hold at grid-table sizes).  Because particles are SORTED by Morton
+    code, 128 consecutive particles span a compact CODE range (bunny
+    1M settled: p50 76, p99 291 codes; <=0.4% of particles past a
+    512-code window), so the lookup becomes a per-sublane window DMA +
+    one in-register gather -- the same trick as the pair windows.
+
+    ``packed[0, code] = (start_in_morton_pair_table << 8) | min(count,
+    255)``; empty codes hold 0.  Requires pair count < 2^24 (asserted);
+    count==255 marks "clamped" and routes those particles to the exact
+    fallback (cells that dense overflow most windows anyway).
+    """
+
+    packed: jnp.ndarray  # i32[1, CS_pad]
+
+
+def build_code_table(grid: TriangleGrid, meta: GridMeta, wc: int) -> CodeTable:
+    """Host-build the Morton-code-indexed cells table (see CodeTable)."""
+    from particlesystemhybridcollisiondetection_tpu.ops.grid import (
+        morton_cell_codes,
+    )
+
+    offsets = np.asarray(grid.offsets).astype(np.int64)
+    counts = np.diff(offsets)
+    p = int(offsets[-1])
+    assert p < (1 << 24), (
+        f"{p} pair rows exceed the 24-bit packed start; use the XLA "
+        "gather plan for this grid"
+    )
+    codes = morton_cell_codes(meta)
+    order = np.argsort(codes, kind="stable")
+    counts_m = counts[order]
+    off_m = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts_m, out=off_m[1:])
+    start_by_cell = np.empty(len(counts), dtype=np.int64)
+    start_by_cell[order] = off_m[:-1]
+
+    cs = int(codes.max()) + 1
+    cs_pad = ((cs + wc) // LANE + 1) * LANE
+    packed = np.zeros((1, cs_pad), dtype=np.int64)
+    packed[0, codes] = (start_by_cell << 8) | np.minimum(counts, 255)
+    return CodeTable(packed=jnp.asarray(packed.astype(np.int32)))
+
+
+def _cells_kernel(
+    lo_start_ref,  # i32[NB*8]: lane-aligned code-window starts (row-MIN)
+    hi_start_ref,  # i32[NB*8]: lane-aligned starts of the row-MAX windows
+    key_ref,  # i32[8, 128] morton code per particle (sorted order)
+    table_hbm,  # i32[1, CS_pad] in ANY/HBM
+    start_out,  # i32[8, 128]
+    count_out,  # i32[8, 128]; -1 = lookup miss -> exact fallback
+    *rest,  # 16x VMEM (1, wc) scratch (one per sublane window -- Mosaic
+    #         cannot DMA into a single sublane row of an (8, wc) buffer:
+    #         dim-0 slices must be 8-aligned) + DMA semaphores [16]
+    wc: int,
+):
+    """TWO code windows per sublane: one anchored at the row's min code,
+    one ENDING at its max.  Settled piles micro-oscillate across cell
+    boundaries in lock-step, so a drifted row's codes go BIMODAL with
+    the two clusters thousands of codes apart (the gap is empty cells --
+    compact in pair-row space, huge in raw code space); a single
+    min-anchored window then misses ~90% of the pile every other lazy
+    step (measured: 925k/1M misses).  Min+max windows cover bimodal
+    rows and single strays on either side; anything in between falls
+    back exactly."""
+    lo_wins, hi_wins, sem = rest[:SUB], rest[SUB : 2 * SUB], rest[2 * SUB]
+    b = pl.program_id(0)
+    copies = [
+        pltpu.make_async_copy(
+            table_hbm.at[:, pl.ds(pl.multiple_of(ref[b * SUB + j], 128), wc)],
+            win,
+            sem.at[8 * half + j],
+        )
+        for half, (ref, wins) in enumerate(
+            ((lo_start_ref, lo_wins), (hi_start_ref, hi_wins))
+        )
+        for j, win in enumerate(wins)
+    ]
+    for cp in copies:
+        cp.start()
+    key = key_ref[:]
+
+    def _starts(ref):
+        return jnp.concatenate(
+            [
+                jnp.full((1, LANE), ref[b * SUB + j], dtype=jnp.int32)
+                for j in range(SUB)
+            ]
+        )
+
+    lo = _starts(lo_start_ref)
+    hi = _starts(hi_start_ref)
+    for cp in copies:
+        cp.wait()
+    rel_lo = key - lo
+    rel_hi = key - hi
+    ok_lo = (rel_lo >= 0) & (rel_lo < wc)
+    ok_hi = (rel_hi >= 0) & (rel_hi < wc)
+    tab_lo = jnp.concatenate([w[:] for w in lo_wins], axis=0)  # [8, wc]
+    tab_hi = jnp.concatenate([w[:] for w in hi_wins], axis=0)
+    g_lo = _lane_gather(tab_lo, jnp.clip(rel_lo, 0, wc - 1))
+    g_hi = _lane_gather(tab_hi, jnp.clip(rel_hi, 0, wc - 1))
+    packed = jnp.where(ok_lo, g_lo, g_hi)
+    ok = ok_lo | ok_hi
+    cnt = packed & 255
+    # arithmetic >> then 24-bit mask recovers the start even when bit 31
+    # (start bit 23) made the packed word negative
+    start = (packed >> 8) & 0xFFFFFF
+    count_out[:] = jnp.where(ok & (cnt < 255), cnt, -1)
+    start_out[:] = start
+
+
+def cells_window_lookup(
+    key_s,  # i32[N] morton codes, sorted order
+    lo_start,  # i32[NB*8] lane-aligned per-sublane min-window starts
+    hi_start,  # i32[NB*8] lane-aligned per-sublane max-window starts
+    ctab: CodeTable,
+    *,
+    wc: int,
+    interpret: bool = False,
+):
+    """(start, count) per particle via per-sublane code-window DMAs +
+    in-register gather (two windows per sublane; see _cells_kernel).
+    count == -1 marks a lookup miss (own code outside both windows, or a
+    count>=255 cell) -- the caller must mark those particles for the
+    exact fallback."""
+    n = key_s.shape[0]
+    assert n % BLOCK == 0, n
+    nb = n // BLOCK
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((SUB, LANE), lambda b, *_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((SUB, LANE), lambda b, *_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, LANE), lambda b, *_: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            *([pltpu.VMEM((1, wc), jnp.int32)] * (2 * SUB)),
+            pltpu.SemaphoreType.DMA((2 * SUB,)),
+        ],
+    )
+    start, count = pl.pallas_call(
+        functools.partial(_cells_kernel, wc=wc),
+        out_shape=[
+            jax.ShapeDtypeStruct((nb * SUB, LANE), jnp.int32),
+            jax.ShapeDtypeStruct((nb * SUB, LANE), jnp.int32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(lo_start, hi_start, key_s.reshape(nb * SUB, LANE), ctab.packed)
+    return start.reshape(n), count.reshape(n)
 
 
 def _lane_gather(tab, idx):

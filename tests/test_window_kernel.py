@@ -150,6 +150,61 @@ def test_hybrid_persistent_runner_matches_per_step_smoke():
     assert int(np.asarray(s.collisions)[mask].sum()) > 0
 
 
+def test_cells_lookup_kernel_matches_gather_plan():
+    """The in-kernel Morton-code cells lookup (cells_lookup="kernel")
+    must reproduce the XLA gather plan exactly: same trajectories, same
+    counts, with lookup misses folded into the exact fallback."""
+    from particlesystemhybridcollisiondetection_tpu.core.step import (
+        make_sorted_episode_runner,
+    )
+
+    scene = _fast_scene()
+    cfg = scene.config
+    state = spawn_grid(cfg, layers_y=1)
+    mask = np.asarray(active_mask(state))
+    a_step = make_spatial_step_sorted(
+        scene.triangles, cfg, interpret=True, cells_lookup="gather"
+    )
+    b_step = make_spatial_step_sorted(
+        scene.triangles, cfg, interpret=True, cells_lookup="kernel"
+    )
+    s = state
+    checked = 0
+    for k in range(85):
+        na = a_step(s)
+        if k % 25 == 0 or int(na.collisions.sum()) != int(s.collisions.sum()):
+            nb = b_step(s)
+            np.testing.assert_array_equal(
+                np.asarray(nb.collisions)[mask],
+                np.asarray(na.collisions)[mask],
+                err_msg=f"step {k}",
+            )
+            np.testing.assert_array_equal(
+                np.asarray(nb.pos)[:, mask], np.asarray(na.pos)[:, mask],
+                err_msg=f"step {k}",
+            )
+            checked += 1
+        s = na
+    assert checked >= 5
+    assert int(np.asarray(s.collisions)[mask].sum()) > 0
+
+    # persistent runner with the coded plan, across lazy-resort steps
+    runner = make_sorted_episode_runner(
+        scene.triangles, cfg, interpret=True, resort_every=7,
+        cells_lookup="kernel",
+    )
+    r = runner(state, 75)
+    s2 = state
+    for _ in range(75):
+        s2 = a_step(s2)
+    np.testing.assert_array_equal(
+        np.asarray(r.collisions)[mask], np.asarray(s2.collisions)[mask]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r.pos)[:, mask], np.asarray(s2.pos)[:, mask]
+    )
+
+
 def test_hybrid_sorted_matches_hybrid_packed_smoke():
     from particlesystemhybridcollisiondetection_tpu.core.step import (
         make_hybrid_step,
