@@ -753,8 +753,14 @@ def _window_plan_coded(
 
 def _maybe_code_table(grid, meta, cells_lookup: str):
     """Build the code-indexed cells table when the in-kernel lookup is
-    requested ("kernel") or auto-enabled (TPU backend + pair count under
-    the 24-bit packed-start limit)."""
+    requested ("kernel") or auto-enabled: TPU backend + pair count under
+    the 24-bit packed-start limit + every cell under the 8-bit packed
+    count.  The count bound is also the empirical scene split: scenes
+    with 255+ tris in a cell (the 398k-tri dragon: 727 such cells, max
+    492) are convoluted enough that drifted rows go MULTI-modal in code
+    space and lazy-step lookup misses explode (measured 56k/131k misses,
+    78 vs 32 ms/step settled), while low-density scenes (bunny: max 75)
+    stay uni/bimodal and the kernel wins ~6 ms at 1M."""
     import numpy as _np
 
     from particlesystemhybridcollisiondetection_tpu.ops.pallas.window_kernel import (
@@ -765,7 +771,11 @@ def _maybe_code_table(grid, meta, cells_lookup: str):
     if cells_lookup == "kernel":
         use = True
     elif cells_lookup == "auto":
-        use = jax.default_backend() == "tpu" and pairs < (1 << 24)
+        use = (
+            jax.default_backend() == "tpu"
+            and pairs < (1 << 24)
+            and meta.max_tris_per_cell < 255
+        )
     else:
         use = False
     return build_code_table(grid, meta, _CODE_WC) if use else None
