@@ -205,6 +205,65 @@ def test_cells_lookup_kernel_matches_gather_plan():
     )
 
 
+def test_code_table_dense_cell_marks_miss():
+    """Cells with >=255 triangles exceed the CodeTable's 8-bit packed
+    count and must come back as lookup misses (count == -1, routed to
+    the exact fallback), while sparse cells decode exactly."""
+    import jax
+    from jax.sharding import Mesh  # noqa: F401  (jax import side effect)
+    from particlesystemhybridcollisiondetection_tpu.config import GridConfig
+    from particlesystemhybridcollisiondetection_tpu.ops.grid import (
+        build_triangle_grid,
+        morton_cell_codes,
+    )
+    from particlesystemhybridcollisiondetection_tpu.ops.pallas.window_kernel import (
+        BLOCK,
+        build_code_table,
+        cells_window_lookup,
+    )
+
+    rng = np.random.default_rng(0)
+    # 300 tiny triangles piled into one spot (one dense cell) + a few
+    # scattered ones
+    base = np.array([5.0, 5.0, 5.0])
+    dense = base + rng.normal(scale=0.05, size=(300, 3, 3)) * 0.1
+    sparse = rng.uniform(12.0, 19.0, size=(8, 3, 3))
+    tris = np.concatenate([dense, sparse]).astype(np.float32)
+    grid, meta = build_triangle_grid(tris, GridConfig(cell_size=4.0))
+    counts = np.diff(np.asarray(grid.offsets))
+    assert counts.max() >= 255, "synthetic dense cell should exceed 255"
+    ctab = build_code_table(grid, meta, 512)
+    codes = morton_cell_codes(meta)
+    dense_code = int(codes[int(np.argmax(counts))])
+    sparse_cid = int(np.argwhere((counts > 0) & (counts < 255))[0][0])
+    sparse_code = int(codes[sparse_cid])
+
+    key = np.full((BLOCK,), dense_code, dtype=np.int32)
+    key[1] = sparse_code
+    key.sort()
+    lo = np.full((8,), (key.min() // 128) * 128, dtype=np.int32)
+    hi = np.maximum(((key.max() - 512 + 128) // 128) * 128, 0) * np.ones(
+        (8,), dtype=np.int32
+    )
+    start, count = cells_window_lookup(
+        jnp.asarray(key), jnp.asarray(lo), jnp.asarray(hi), ctab,
+        wc=512, interpret=True,
+    )
+    start, count = np.asarray(start), np.asarray(count)
+    dense_lanes = key == dense_code
+    assert (count[dense_lanes] == -1).all(), "dense cell must be a miss"
+    sl = key == sparse_code
+    assert (count[sl] == counts[sparse_cid]).all()
+    # start is the morton-ordered pair-table start for that cell
+    order = np.argsort(codes, kind="stable")
+    counts_m = counts[order]
+    off_m = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts_m, out=off_m[1:])
+    start_by_cell = np.empty(len(counts), dtype=np.int64)
+    start_by_cell[order] = off_m[:-1]
+    assert (start[sl] == start_by_cell[sparse_cid]).all()
+
+
 def test_hybrid_sorted_matches_hybrid_packed_smoke():
     from particlesystemhybridcollisiondetection_tpu.core.step import (
         make_hybrid_step,
