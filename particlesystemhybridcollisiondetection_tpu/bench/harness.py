@@ -163,36 +163,79 @@ def _run_episode_persistent(
 
     cfg = scene.config
     hybrid = Method(method) == Method.HYBRID
-    run = make_sorted_episode_runner(
-        scene.triangles, cfg, resort_every=resort_every,
+    mk = dict(
+        resort_every=resort_every,
         camera=scene.cameras[camera_index] if hybrid else None,
         normals=getattr(scene, "corner_normals", None) if hybrid else None,
     )
+    # ADAPTIVE cells-lookup plan: the in-kernel coded lookup and the XLA
+    # gather plan are exact interchangeable implementations of the same
+    # plan, but their relative cost is PHASE-dependent (coded wins the
+    # coherent spawn/settled phases -- 4.4 vs 8.9 ms at 1M spawn -- and
+    # loses the chaotic mid-episode "rain" regime, where drifted rows go
+    # multi-modal in code space and lookup misses feed the exact
+    # fallback: 20.8 vs 17.5 ms full-episode at 524k).  No static choice
+    # wins the whole episode, so the executor autotunes: chunked
+    # dispatch already times every chunk, so it A/B-probes both runners
+    # and keeps the current winner, re-probing every 8 chunks to track
+    # phase changes.  Both runners carry the same state format (each
+    # run() call restores original order), so switching is free.
+    runners = {"gather": make_sorted_episode_runner(
+        scene.triangles, cfg, cells_lookup="gather", **mk)}
+    if jax.default_backend() == "tpu":
+        try:
+            runners["kernel"] = make_sorted_episode_runner(
+                scene.triangles, cfg, cells_lookup="kernel", **mk)
+        except AssertionError:  # >2^24 pair rows: no packed code table
+            pass
+
     state = spawn_grid(cfg, layers_y=layers_y)
     mask = np.asarray(active_mask(state))
     n_particles = int(mask.sum())
 
-    # compile BOTH step variants (sorted + lazy) outside the timed region:
-    # a 1-step warmup would leave the lazy step to compile inside the
-    # first timed chunk
-    throwaway = run(state, resort_every + 1)
-    fence(throwaway.pos)
-    del throwaway
-    state = run(state, max(warmup_steps, 1))
+    # compile BOTH step variants (sorted + lazy) of every candidate
+    # outside the timed region: a 1-step warmup would leave the lazy
+    # step to compile inside the first timed chunk
+    for r in runners.values():
+        throwaway = r(state, resort_every + 1)
+        fence(throwaway.pos)
+        del throwaway
+    state = runners[next(iter(runners))](state, max(warmup_steps, 1))
     fence(state.pos)
 
     step_ms: list[float] = []
     timed_steps = steps - warmup_steps
     done = 0
+    names = list(runners)
+    best = names[0]
+    last_ms: dict[str, float] = {}
+    chunk_i = 0
+    next_probe = 0  # chunk index at which to re-probe the non-best plan
     t_start = time.perf_counter()
     while done < timed_steps:
         n = min(chunk, timed_steps - done)
+        unsampled = [x for x in names if x not in last_ms]
+        if unsampled:
+            pick = unsampled[0]  # first cycle: time every candidate once
+        elif len(names) > 1 and chunk_i >= next_probe:
+            # probe the non-best plan this chunk; re-probe soon while
+            # the two are close (phase boundaries), rarely when one is
+            # far ahead (a 2x-slower plan then costs a few % at most)
+            pick = [x for x in names if x != best][0]
+            ratio = max(last_ms.values()) / max(min(last_ms.values()), 1e-9)
+            next_probe = chunk_i + (8 if ratio < 1.3 else 32)
+        else:
+            pick = best
         t0 = time.perf_counter()
-        state = run(state, n)
+        state = runners[pick](state, n)
         fence(state.pos)
         ms = (time.perf_counter() - t0) * 1000.0 / n
+        last_ms[pick] = ms
+        if len(last_ms) == len(names):
+            best = min(last_ms, key=last_ms.get)
         step_ms.extend([ms] * n)
         done += n
+        chunk_i += 1
     total_s = time.perf_counter() - t_start
 
     return EpisodeResult(
