@@ -70,6 +70,7 @@ def run_episode(
     warmup_steps: int = 1,
     persistent: Optional[bool] = None,
     resort_every: int = 8,
+    cells_lookup: str = "adaptive",
 ) -> EpisodeResult:
     """Roll + time one episode.
 
@@ -95,6 +96,7 @@ def run_episode(
         return _run_episode_persistent(
             scene, layers_y, steps, chunk, warmup_steps, resort_every,
             method=method, camera_index=camera_index,
+            cells_lookup=cells_lookup,
         )
     step = make_method_step(scene, method, camera_index)
     state = spawn_grid(cfg, layers_y=layers_y)
@@ -155,6 +157,7 @@ def run_episode(
 def _run_episode_persistent(
     scene, layers_y, steps, chunk, warmup_steps, resort_every,
     method: str = "spatial", camera_index: int = 0,
+    cells_lookup: str = "adaptive",
 ) -> EpisodeResult:
     from particlesystemhybridcollisiondetection_tpu.core.step import (
         make_sorted_episode_runner,
@@ -180,14 +183,21 @@ def _run_episode_persistent(
     # and keeps the current winner, re-probing every 8 chunks to track
     # phase changes.  Both runners carry the same state format (each
     # run() call restores original order), so switching is free.
-    runners = {"gather": make_sorted_episode_runner(
-        scene.triangles, cfg, cells_lookup="gather", **mk)}
-    if jax.default_backend() == "tpu":
-        try:
-            runners["kernel"] = make_sorted_episode_runner(
-                scene.triangles, cfg, cells_lookup="kernel", **mk)
-        except AssertionError:  # >2^24 pair rows: no packed code table
-            pass
+    # ``cells_lookup``: "adaptive" builds BOTH plans and autotunes;
+    # any other value pins that plan (pinned runs are bit-deterministic
+    # run-to-run; short benchmarks also avoid paying a probe chunk)
+    if cells_lookup != "adaptive":
+        runners = {cells_lookup: make_sorted_episode_runner(
+            scene.triangles, cfg, cells_lookup=cells_lookup, **mk)}
+    else:
+        runners = {"gather": make_sorted_episode_runner(
+            scene.triangles, cfg, cells_lookup="gather", **mk)}
+        if jax.default_backend() == "tpu":
+            try:
+                runners["kernel"] = make_sorted_episode_runner(
+                    scene.triangles, cfg, cells_lookup="kernel", **mk)
+            except AssertionError:  # >2^24 pair rows: no code table
+                pass
 
     state = spawn_grid(cfg, layers_y=layers_y)
     mask = np.asarray(active_mask(state))
