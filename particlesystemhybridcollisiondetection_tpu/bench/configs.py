@@ -146,7 +146,12 @@ def config_3(steps: int = 300, layers: int = 16) -> dict:
     from particlesystemhybridcollisiondetection_tpu.geometry.scenes import bunny_scene
 
     scene = bunny_scene(width=960, height=540)
-    r = run_episode(scene, "hybrid", layers_y=layers, num_steps=steps)
+    # pinned coded plan: a 300-step spawn-phase run is the coded plan's
+    # best regime and too short to amortize the adaptive A/B probe
+    r = run_episode(
+        scene, "hybrid", layers_y=layers, num_steps=steps,
+        cells_lookup="kernel",
+    )
     return {
         "config": 3,
         "particles": r.num_particles,
