@@ -47,7 +47,7 @@ def main() -> None:
         num_steps=151,
         chunk=50,
         warmup_steps=1,
-        cells_lookup="kernel",
+        plan="kernel",
     )
     elapsed = time.time() - t0
 

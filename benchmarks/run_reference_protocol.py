@@ -46,6 +46,16 @@ def main() -> int:
         help="comma-separated subset (e.g. re-measure one method after a "
         "perf change; merge rows into the main artifact afterwards)",
     )
+    ap.add_argument(
+        "--plan", default="adaptive",
+        help="cells-lookup execution plan: adaptive (default) | gather | "
+        "kernel | auto (pinned plans are bit-deterministic run-to-run)",
+    )
+    ap.add_argument(
+        "--spatial-all-cameras", action="store_true",
+        help="run the camera-independent spatial method on all cameras "
+        "(literal reference parity) instead of the documented dedup",
+    )
     args = ap.parse_args()
 
     from particlesystemhybridcollisiondetection_tpu.bench.harness import run_benchmark
@@ -72,12 +82,15 @@ def main() -> int:
             num_runs=args.runs,
             out_dir=args.out,
             accuracy=args.accuracy,
+            spatial_all_cameras=args.spatial_all_cameras,
+            plan=args.plan,
         )
         for r in results:
             line = {
                 "k": k,
                 "method": r.method,
                 "camera": r.camera,
+                "run": r.run,
                 "particles": r.num_particles,
                 "mean_ms": round(r.mean_ms, 3),
                 "particle_steps_per_sec": round(r.particle_steps_per_sec, 1),

@@ -150,7 +150,7 @@ def config_3(steps: int = 300, layers: int = 16) -> dict:
     # best regime and too short to amortize the adaptive A/B probe
     r = run_episode(
         scene, "hybrid", layers_y=layers, num_steps=steps,
-        cells_lookup="kernel",
+        plan="kernel",
     )
     return {
         "config": 3,

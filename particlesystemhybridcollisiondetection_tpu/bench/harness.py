@@ -49,6 +49,7 @@ class EpisodeResult:
     step_ms: list  # per-step (or per-chunk-averaged) milliseconds
     collisions: np.ndarray  # per-particle totals
     steps_per_sec: float
+    run: int = 0  # repeat-run index within a run_benchmark sweep
 
     @property
     def particle_steps_per_sec(self) -> float:
@@ -77,6 +78,7 @@ class PlanChooser:
         self.names = list(names)
         self.best = self.names[0]
         self.last_ms: dict = {}
+        self.last_sample_i: dict = {}  # chunk index of each plan's last probe
         self.chunk_i = 0
         self.next_probe = 0
 
@@ -91,11 +93,16 @@ class PlanChooser:
             self.next_probe = self.chunk_i + (
                 self.PROBE_CLOSE if ratio < self.CLOSE_RATIO else self.PROBE_FAR
             )
-            return [x for x in self.names if x != self.best][0]
+            # probe the LEAST-RECENTLY-sampled loser: with 3+ plans a
+            # fixed first-loser probe would leave the others' last_ms
+            # stale forever (ADVICE r2)
+            losers = [x for x in self.names if x != self.best]
+            return min(losers, key=lambda x: self.last_sample_i.get(x, -1))
         return self.best
 
     def record(self, name: str, ms: float) -> None:
         self.last_ms[name] = ms
+        self.last_sample_i[name] = self.chunk_i
         if len(self.last_ms) == len(self.names):
             self.best = min(self.last_ms, key=self.last_ms.get)
         self.chunk_i += 1
@@ -112,7 +119,7 @@ def run_episode(
     warmup_steps: int = 1,
     persistent: Optional[bool] = None,
     resort_every: int = 8,
-    cells_lookup: str = "adaptive",
+    plan: str = "adaptive",
 ) -> EpisodeResult:
     """Roll + time one episode.
 
@@ -122,6 +129,14 @@ def run_episode(
     the screen-space stage on the sorted rows; see
     make_sorted_episode_runner).  Default: auto (on for spatial/hybrid
     on TPU, off elsewhere).  Implies chunked timing.
+
+    ``plan``: the execution plan for the (start, count) cells lookup.
+    "adaptive" (default) builds both the in-kernel coded plan and the
+    XLA gather plan and A/B-autotunes per chunk (persistent path only;
+    elsewhere it degrades to the step-level "auto" heuristic).  Any
+    other value ("gather" / "kernel" / "auto") pins that step-level
+    ``cells_lookup`` plan on every path -- pinned runs are
+    bit-deterministic run-to-run.
     """
     cfg = scene.config
     steps = num_steps if num_steps is not None else cfg.lifetime_steps
@@ -138,9 +153,15 @@ def run_episode(
         return _run_episode_persistent(
             scene, layers_y, steps, chunk, warmup_steps, resort_every,
             method=method, camera_index=camera_index,
-            cells_lookup=cells_lookup,
+            plan=plan,
         )
-    step = make_method_step(scene, method, camera_index)
+    # non-persistent path: no chunk-level autotuner exists here, so
+    # "adaptive" degrades to the step-level "auto" heuristic; a pinned
+    # plan is honored (ADVICE r2: it used to be silently dropped)
+    step = make_method_step(
+        scene, method, camera_index,
+        cells_lookup="auto" if plan == "adaptive" else plan,
+    )
     state = spawn_grid(cfg, layers_y=layers_y)
     mask = np.asarray(active_mask(state))
     n_particles = int(mask.sum())
@@ -169,9 +190,9 @@ def run_episode(
             step_ms.append((time.perf_counter() - t0) * 1000.0)
         total_s = sum(step_ms) / 1000.0
     else:
-        # python-loop dispatch (wrapping the step in lax.fori_loop was
-        # measured 4.7x slower on TPU: XLA compiles the loop body without
-        # the step's standalone optimizations).
+        # python-loop dispatch; fori_loop wrapping is at parity on the
+        # current pipeline (benchmarks/study_fori_loop.py) -- Python
+        # dispatch is kept for the chunked timing fences
         done = 0
         t_start = time.perf_counter()
         while done < timed_steps:
@@ -199,7 +220,7 @@ def run_episode(
 def _run_episode_persistent(
     scene, layers_y, steps, chunk, warmup_steps, resort_every,
     method: str = "spatial", camera_index: int = 0,
-    cells_lookup: str = "adaptive",
+    plan: str = "adaptive",
 ) -> EpisodeResult:
     from particlesystemhybridcollisiondetection_tpu.core.step import (
         make_sorted_episode_runner,
@@ -225,12 +246,13 @@ def _run_episode_persistent(
     # and keeps the current winner, re-probing every 8 chunks to track
     # phase changes.  Both runners carry the same state format (each
     # run() call restores original order), so switching is free.
-    # ``cells_lookup``: "adaptive" builds BOTH plans and autotunes;
-    # any other value pins that plan (pinned runs are bit-deterministic
-    # run-to-run; short benchmarks also avoid paying a probe chunk)
-    if cells_lookup != "adaptive":
-        runners = {cells_lookup: make_sorted_episode_runner(
-            scene.triangles, cfg, cells_lookup=cells_lookup, **mk)}
+    # ``plan``: "adaptive" builds BOTH plans and autotunes; any other
+    # value pins that step-level cells_lookup plan (pinned runs are
+    # bit-deterministic run-to-run; short benchmarks also avoid paying a
+    # probe chunk)
+    if plan != "adaptive":
+        runners = {plan: make_sorted_episode_runner(
+            scene.triangles, cfg, cells_lookup=plan, **mk)}
     else:
         runners = {"gather": make_sorted_episode_runner(
             scene.triangles, cfg, cells_lookup="gather", **mk)}
@@ -293,11 +315,21 @@ def run_benchmark(
     out_dir: Optional[str] = None,
     per_step_timing: bool = False,
     accuracy: bool = False,
+    spatial_all_cameras: bool = False,
+    plan: str = "adaptive",
 ) -> list[EpisodeResult]:
     """The full sweep: runs x methods x cameras (BenchmarkManager.cs:76-127).
 
     With ``out_dir``, writes the reference's CSV formats plus a JSON
     summary.
+
+    Camera dedup: the SPATIAL method is camera-independent (the grid
+    pipeline never reads the camera), so by default it runs on
+    ``cameras[:1]`` only -- the reference times it across all 4 cameras
+    (BenchmarkManager.cs:84-93), but those 4 measurements are the same
+    experiment repeated.  The dedup is recorded in the summary schema
+    (``cameras_deduped``) so episode counts are auditable; pass
+    ``spatial_all_cameras=True`` for literal protocol parity.
     """
     cameras = (
         list(camera_indices)
@@ -308,7 +340,8 @@ def run_benchmark(
     for run in range(num_runs):
         per_method: dict[str, list[EpisodeResult]] = {}
         for method in methods:
-            for cam in cameras if Method(method) != Method.SPATIAL else cameras[:1]:
+            dedup = Method(method) == Method.SPATIAL and not spatial_all_cameras
+            for cam in cameras[:1] if dedup else cameras:
                 r = run_episode(
                     scene,
                     method,
@@ -316,14 +349,17 @@ def run_benchmark(
                     layers_y=layers_y,
                     num_steps=num_steps,
                     per_step_timing=per_step_timing,
+                    plan=plan,
                 )
+                r.run = run
                 results.append(r)
                 per_method.setdefault(method, []).append(r)
         if out_dir:
             _write_csvs(scene, per_method, layers_y, out_dir, append=run != 0,
                         accuracy=accuracy)
     if out_dir:
-        _write_summary(scene, results, layers_y, out_dir)
+        _write_summary(scene, results, layers_y, out_dir,
+                       spatial_all_cameras=spatial_all_cameras)
     return results
 
 
@@ -348,19 +384,27 @@ def _write_csvs(scene, per_method, layers_y, out_dir, append, accuracy):
                         f.write(f"{i};{c}\n")
 
 
-def _write_summary(scene, results, layers_y, out_dir):
+def _write_summary(scene, results, layers_y, out_dir,
+                   spatial_all_cameras: bool = False):
     os.makedirs(out_dir, exist_ok=True)
     summary = [
         {
             "scene": scene.name,
             "method": r.method,
             "camera": r.camera,
+            "run": r.run,
             "num_particles": r.num_particles,
             "num_steps": r.num_steps,
             "mean_ms_per_step": r.mean_ms,
             "steps_per_sec": r.steps_per_sec,
             "particle_steps_per_sec": r.particle_steps_per_sec,
             "total_collisions": int(r.collisions.sum()),
+            # SPATIAL rows are camera-independent and measured on one
+            # camera only (see run_benchmark docstring) unless
+            # spatial_all_cameras was set
+            "cameras_deduped": (
+                Method(r.method) == Method.SPATIAL and not spatial_all_cameras
+            ),
         }
         for r in results
     ]
@@ -374,10 +418,64 @@ def _write_summary(scene, results, layers_y, out_dir):
                 old = json.load(f)
         except (json.JSONDecodeError, OSError):
             old = []
-        fresh = {(s["method"], s["camera"], s["num_particles"]) for s in summary}
-        summary += [
-            s for s in old
-            if (s["method"], s["camera"], s["num_particles"]) not in fresh
-        ]
+        def _key(s):
+            return (s["method"], s["camera"], s["num_particles"])
+        fresh = {_key(s) for s in summary}
+        summary += [s for s in old if _key(s) not in fresh]
+    _flag_transport_noise(summary)
     with open(path, "w") as f:
         json.dump(summary, f, indent=2)
+    _write_aggregates(scene, summary, out_dir)
+
+
+def _flag_transport_noise(summary) -> None:
+    """Mark episodes whose mean step time is a gross outlier among their
+    duplicates (same method/camera/N across runs) as suspected transport
+    noise: the axon TPU tunnel occasionally stalls mid-episode, inflating
+    one episode ~10x (observed: a 306 ms/step k=6 hybrid episode vs 28.5
+    on its duplicate).  The raw number is kept -- it was measured -- but
+    downstream means must be able to exclude it mechanically."""
+    groups: dict = {}
+    for s in summary:
+        groups.setdefault(
+            (s["method"], s["camera"], s["num_particles"]), []
+        ).append(s)
+    for rows in groups.values():
+        med = float(np.median([r["mean_ms_per_step"] for r in rows]))
+        for r in rows:
+            r["suspect_transport_noise"] = bool(
+                len(rows) >= 2 and med > 0 and r["mean_ms_per_step"] > 3.0 * med
+            )
+
+
+def _write_aggregates(scene, summary, out_dir) -> None:
+    """Per-(method, camera, N) aggregate across repeat runs: run count,
+    mean/std/min/max of the per-episode mean step time (the reference
+    repeats every sweep 6 times for exactly this variance information --
+    BenchmarkManager.cs:112-114).  Suspected-transport-noise rows are
+    excluded from the moments but counted."""
+    groups: dict = {}
+    for s in summary:
+        groups.setdefault(
+            (s["method"], s["camera"], s["num_particles"]), []
+        ).append(s)
+    agg = []
+    for (method, camera, n), rows in sorted(groups.items()):
+        clean = [r["mean_ms_per_step"] for r in rows
+                 if not r.get("suspect_transport_noise")]
+        ms = clean or [r["mean_ms_per_step"] for r in rows]
+        agg.append({
+            "scene": scene.name,
+            "method": method,
+            "camera": camera,
+            "num_particles": n,
+            "runs": len(rows),
+            "runs_quarantined": len(rows) - len(clean),
+            "mean_ms_mean": float(np.mean(ms)),
+            "mean_ms_std": float(np.std(ms, ddof=1)) if len(ms) > 1 else 0.0,
+            "mean_ms_min": float(np.min(ms)),
+            "mean_ms_max": float(np.max(ms)),
+            "cameras_deduped": bool(rows[0].get("cameras_deduped")),
+        })
+    with open(os.path.join(out_dir, f"aggregate_{scene.name}.json"), "w") as f:
+        json.dump(agg, f, indent=2)

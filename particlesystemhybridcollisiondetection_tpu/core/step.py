@@ -657,7 +657,8 @@ def make_p2p_episode_runner(
     return run
 
 
-def _window_plan(cid_s, cells2, window: int, nb: int, active_s=None):
+def _window_plan(cid_s, cells2, window: int, nb: int, active_s=None,
+                 demote=None):
     """Per-SUBLANE window geometry for the sorted kernel.
 
     Each row of 128 sorted particles gets its own window (round 1 used
@@ -682,10 +683,10 @@ def _window_plan(cid_s, cells2, window: int, nb: int, active_s=None):
     count = info[1]
     if active_s is not None:
         count = jnp.where(active_s, count, 0)  # decided -> no candidates
-    return _plan_tail(start, count, window, nb)
+    return _plan_tail(start, count, window, nb, demote=demote)
 
 
-def _plan_tail(start, count, window: int, nb: int, miss=None):
+def _plan_tail(start, count, window: int, nb: int, miss=None, demote=None):
     from particlesystemhybridcollisiondetection_tpu.ops.pallas.window_kernel import (
         LANE,
         SUB,
@@ -694,16 +695,28 @@ def _plan_tail(start, count, window: int, nb: int, miss=None):
     n = start.shape[0]
     big = jnp.int32(1 << 30)
     sb = jnp.where(count > 0, start, big).reshape(nb * SUB, LANE)
-    cb = count.reshape(nb * SUB, LANE)
     ws = jnp.min(sb, axis=1)
     ws = jnp.where(ws == big, 0, ws)
     ws = (ws // 128) * 128  # HBM DMA slices must be lane-aligned
-    k_cap = jnp.max(cb.reshape(nb, SUB * LANE), axis=1)
     rel = start - jnp.broadcast_to(ws[:, None], (nb * SUB, LANE)).reshape(n)
     rel = jnp.where(count > 0, rel, 0)
     overflow = (count > 0) & ((rel < 0) | (rel + count > window))
     if miss is not None:
         overflow = overflow | miss
+    if demote is not None:
+        # dense-cell demotion: lanes in cells denser than ``demote`` go
+        # straight to the rescue pass, where same-cell particles share a
+        # sublane; in the MAIN kernel one dense cell would inflate the
+        # whole 1024-particle block's trip count (see _chunked_rescue)
+        overflow = overflow | (count > demote)
+    # Overflow lanes are fully redone by the rescue/fallback pass, so the
+    # main kernel skips them: ZEROED counts tighten each block's adaptive
+    # k_cap (one dense/overflowing cell no longer sets all 1024 lanes'
+    # candidate-loop bound).  ws stays anchored to the pre-zeroing counts
+    # so the non-overflow lanes' rel values are unchanged.
+    count = jnp.where(overflow, 0, count)
+    k_cap = jnp.max(count.reshape(nb, SUB * LANE), axis=1)
+    rel = jnp.where(count > 0, rel, 0)
     rel = jnp.clip(rel, 0, window - 1)
     return rel, count, ws.reshape(nb, SUB), k_cap, overflow
 
@@ -714,7 +727,7 @@ _CODE_WC = 512  # per-sublane code-window size (bunny 1M settled: p99
 
 def _window_plan_coded(
     key_s, ctab, window: int, nb: int, *, interpret: bool = False,
-    active_s=None,
+    active_s=None, demote=None,
 ):
     """_window_plan with the (start, count) lookup done by the Pallas
     cells-window kernel instead of the ~6.3 ns/index XLA gather: sorted
@@ -748,7 +761,7 @@ def _window_plan_coded(
     if active_s is not None:
         count = jnp.where(active_s, count, 0)
         miss = miss & active_s  # decided particles skip the exact stage
-    return _plan_tail(start, count, window, nb, miss=miss)
+    return _plan_tail(start, count, window, nb, miss=miss, demote=demote)
 
 
 def _maybe_code_table(grid, meta, cells_lookup: str):
@@ -764,28 +777,44 @@ def _maybe_code_table(grid, meta, cells_lookup: str):
     import numpy as _np
 
     from particlesystemhybridcollisiondetection_tpu.ops.pallas.window_kernel import (
+        _CODE_TABLE_MAX,
         build_code_table,
+    )
+    from particlesystemhybridcollisiondetection_tpu.ops.grid import (
+        _morton_spread,
     )
 
     pairs = int(_np.asarray(grid.offsets)[-1])
+    # max possible Morton code for this grid (each axis bit position is
+    # maximal at coord dims-1), so the table-size check needs no code scan
+    dx, dy, dz = (int(d) - 1 for d in meta.dims)
+    code_max = int(
+        _np.int64(_morton_spread(_np.int32(dx)))
+        | (_np.int64(_morton_spread(_np.int32(dy))) << 1)
+        | (_np.int64(_morton_spread(_np.int32(dz))) << 2)
+    )
+    fits = (
+        pairs < (1 << 24)
+        and meta.max_tris_per_cell < 255
+        # 10-bit Morton range: dims > 1024 would ALIAS distinct cells
+        # onto one code (silent wrong lookups -- build_code_table asserts)
+        and max(meta.dims) <= 1024
+        and code_max + 1 + _CODE_WC + 128 <= _CODE_TABLE_MAX
+    )
     if cells_lookup == "kernel":
-        use = True
+        use = True  # explicit request: let build_code_table's asserts bind
     elif cells_lookup == "auto":
-        use = (
-            jax.default_backend() == "tpu"
-            and pairs < (1 << 24)
-            and meta.max_tris_per_cell < 255
-        )
+        use = jax.default_backend() == "tpu" and fits
     else:
         use = False
     return build_code_table(grid, meta, _CODE_WC) if use else None
 
 
-def _chunked_fallback(
+def _chunked_rescue(
     kernel_out,
     sorted_state,
     overflow,
-    count,
+    tables,
     packed,
     meta,
     num_groups: int,
@@ -793,30 +822,67 @@ def _chunked_fallback(
     gravity,
     cfg: SimConfig,
     m_cap: int,
-    active_s=None,
+    *,
+    window: int,
+    rescue_window: int,
+    interpret: bool = False,
 ):
-    """Exact redo for window-overflow particles, in m_cap-sized chunks.
+    """Exact redo for window-overflow particles: compacted KERNEL rescue
+    with a packed-XLA last resort, in m_cap-sized chunks.
 
-    A ``lax.while_loop`` walks the compacted overflow list until every
-    overflow particle has been recomputed by the packed XLA narrow phase,
-    so results are exact for ANY overflow count (round 1 truncated at one
-    fixed-capacity pass, silently keeping clipped-window results beyond
-    it).  When nothing overflows the loop body never runs -- the common
-    case costs one argsort and no narrow-phase work.
+    Round 2 ran the packed XLA narrow phase on every overflow particle;
+    its cost concentrated in the few dense chunks and dominated
+    settled-phase steps (VERDICT r2 weak #2), and a second PAIRS window
+    inside the main kernel rescues only 38-41% of overflow because
+    drifted rows go multi-modal in pair space
+    (benchmarks/study_pair_windows.py).  The round-3 observation: the
+    overflow SET is compact after compaction -- overflow particles live
+    in few (dense or drifted) cells, and compacting them in sorted order
+    preserves Morton locality, so a sublane of 128 compacted overflow
+    particles covers a compact pair-row range and fits a FRESH
+    per-sublane window regardless of the row's original modality.  Each
+    chunk therefore:
+
+      1. gathers fresh (start, count) for its m_cap particles from the
+         cells table (m_cap indices, not N -- this also repairs
+         coded-plan lookup misses, which carry no (start, count) at all),
+      2. re-runs the SAME Pallas window kernel on the compacted subset
+         (bit-identical math to the main pass: a particle's result no
+         longer depends on which pass computed it, so coded-plan misses
+         do not switch estimator -- see
+         benchmarks/study_hybrid_divergence.py for what that used to
+         cost),
+      3. lanes whose rescue window STILL overflows (candidate span >
+         rescue_window, e.g. cells denser than the 2048-row window cap)
+         take the packed XLA narrow phase under a ``lax.cond``, so clean
+         chunks skip it entirely.
+
+    Exact for ANY overflow count (the while_loop walks every chunk; when
+    nothing overflows the body never runs and the step pays one argsort).
 
     kernel_out: (pos_k [3,N], vel_k [3,N], hit_k i32[N]) from the window
     kernel.  sorted_state: (pos_s, vel_s, radius_s, restit_s) in sorted
     order.  Returns (pos_k, vel_k, hit_k, n_over).
     """
+    from particlesystemhybridcollisiondetection_tpu.ops.grid import (
+        cell_index,
+    )
+    from particlesystemhybridcollisiondetection_tpu.ops.pallas.window_kernel import (
+        BLOCK,
+        window_collide_sorted,
+    )
+
     pos_k, vel_k, hit_k = kernel_out
     pos_s, vel_s, radius_s, restit_s = sorted_state
     n = pos_s.shape[-1]
-    m_eff = min(m_cap, n)
+    # the rescue kernel runs on whole 1024-particle blocks
+    m_eff = max(BLOCK, (min(m_cap, n) // BLOCK) * BLOCK)
+    nb2 = m_eff // BLOCK
     n_over = jnp.sum(overflow.astype(jnp.int32))
-    # overflow first, densest cells first within overflow: each chunk's
-    # adaptive group bound (spatial_collide_packed) then only pays for
-    # the candidate counts actually present in that chunk
-    key = jnp.where(overflow, -count, jnp.int32(1 << 30))
+    # compaction preserving the carried (Morton-sorted) order: overflow
+    # lanes first, in position order -- same-cell particles stay adjacent
+    big = jnp.int32(1 << 30)
+    key = jnp.where(overflow, jnp.arange(n, dtype=jnp.int32), big)
     ord2 = jnp.argsort(key, stable=True)
 
     def chunk_cond(carry):
@@ -826,28 +892,59 @@ def _chunked_fallback(
     def chunk_body(carry):
         c, pos_k, vel_k, hit_k = carry
         pick = jax.lax.dynamic_slice(ord2, (c * m_eff,), (m_eff,))
-        mini = ParticleState(
-            pos=pos_s[:, pick],
-            vel=vel_s[:, pick],
-            collisions=jnp.zeros((m_eff,), dtype=jnp.int32),
-            radius=radius_s[pick],
-            restitution=restit_s[pick],
+        redo = overflow[pick]  # only true-overflow lanes get written back
+        pos_c = pos_s[:, pick]
+        vel_c = vel_s[:, pick]
+        rad_c = radius_s[pick]
+        res_c = restit_s[pick]
+        # fresh (start, count): m_eff-index planar gather (coded-plan miss
+        # lanes carry no valid start/count, so always re-derive here)
+        info = tables.cells2[:, cell_index(pos_c, meta)]
+        count_c = jnp.where(redo, info[1], 0)  # padding lanes do nothing
+        rel, cnt, ws, k_cap, over2 = _plan_tail(
+            info[0], count_c, rescue_window, nb2
         )
-        mini = spatial_collide_packed(
-            mini, packed, meta, num_groups, group, gravity, cfg.dt,
-            cfg.backoff,
-            active=None if active_s is None else active_s[pick],
+        pos_o, vel_o, hit_o = window_collide_sorted(
+            pos_c, vel_c, rad_c, res_c, rel, cnt, ws, k_cap, tables,
+            w=rescue_window, k_static=meta.max_tris_per_cell,
+            gravity=cfg.gravity, dt=cfg.dt, backoff=cfg.backoff,
+            interpret=interpret,
         )
-        fb_pos, fb_vel = integrate(mini.pos, mini.vel, gravity, cfg.dt)
-        redo = overflow[pick]  # only true-overflow lanes get written
+
+        def packed_redo(args):
+            pos_o, vel_o, hit_o = args
+            # sentinel positions for the settled lanes keep their (dense)
+            # cells out of the packed pass's adaptive group bound
+            mini = ParticleState(
+                pos=jnp.where(over2[None], pos_c, 1.0e38),
+                vel=vel_c,
+                collisions=jnp.zeros((m_eff,), dtype=jnp.int32),
+                radius=rad_c,
+                restitution=res_c,
+            )
+            mini = spatial_collide_packed(
+                mini, packed, meta, num_groups, group, gravity, cfg.dt,
+                cfg.backoff, active=over2,
+            )
+            fb_pos, fb_vel = integrate(mini.pos, mini.vel, gravity, cfg.dt)
+            return (
+                jnp.where(over2[None], fb_pos, pos_o),
+                jnp.where(over2[None], fb_vel, vel_o),
+                jnp.where(over2, mini.collisions, hit_o),
+            )
+
+        pos_o, vel_o, hit_o = jax.lax.cond(
+            jnp.any(over2), packed_redo, lambda args: args,
+            (pos_o, vel_o, hit_o),
+        )
         pos_k = pos_k.at[:, pick].set(
-            jnp.where(redo[None], fb_pos, pos_k[:, pick])
+            jnp.where(redo[None], pos_o, pos_k[:, pick])
         )
         vel_k = vel_k.at[:, pick].set(
-            jnp.where(redo[None], fb_vel, vel_k[:, pick])
+            jnp.where(redo[None], vel_o, vel_k[:, pick])
         )
         hit_k = hit_k.at[pick].set(
-            jnp.where(redo, mini.collisions, hit_k[pick])
+            jnp.where(redo, hit_o, hit_k[pick])
         )
         return c + 1, pos_k, vel_k, hit_k
 
@@ -870,6 +967,7 @@ def make_hybrid_step_sorted(
     mesh=None,
     axis_name: str = "data",
     cells_lookup: str = "auto",
+    dense_demote: "int | None | str" = "auto",
 ) -> StepFn:
     """Hybrid method with the sorted block-window Pallas kernel as the
     exact fallback stage.
@@ -903,6 +1001,12 @@ def make_hybrid_step_sorted(
     tex = bake_camera(triangles, camera, normals)
     grid, meta = build_triangle_grid(triangles, cfg.grid)
     window = _auto_window(window, meta)
+    # rescue window: large enough to cover the densest cell (the
+    # rescue pass re-windows COMPACTED overflow particles, so only
+    # single-cell spans matter -- see _chunked_rescue); never below
+    # the main window
+    rescue_window = max(window, _auto_window(None, meta))
+    dense_demote = _auto_demote(dense_demote, meta)
     tables = build_window_tables(grid, meta, window)
     ctab = _maybe_code_table(grid, meta, cells_lookup)
     group = 8
@@ -940,14 +1044,15 @@ def make_hybrid_step_sorted(
         if ctab is not None:
             rel, count, ws, k_cap, overflow = _window_plan_coded(
                 key_s, ctab, window, nb, interpret=interpret,
-                active_s=active_s,
+                active_s=active_s, demote=dense_demote,
             )
         else:
             # linear cell id recomputed from the PERMUTED positions:
             # cheaper than carrying it as a third sort payload
             cid_s = cell_index(pos_s, meta)
             rel, count, ws, k_cap, overflow = _window_plan(
-                cid_s, tables.cells2, window, nb, active_s=active_s
+                cid_s, tables.cells2, window, nb, active_s=active_s,
+                demote=dense_demote,
             )
 
         pos_k, vel_k, hit_k = window_collide_sorted(
@@ -957,12 +1062,12 @@ def make_hybrid_step_sorted(
             interpret=interpret,
         )
 
-        pos_k, vel_k, hit_k, n_over = _chunked_fallback(
+        pos_k, vel_k, hit_k, n_over = _chunked_rescue(
             (pos_k, vel_k, hit_k),
             (pos_s, vel_s, radius_s, restit_s),
-            overflow, count, packed, meta, num_groups, group, gravity, cfg,
-            m_cap,
-            active_s=active_s,
+            overflow, tables, packed, meta, num_groups, group, gravity, cfg,
+            m_cap, window=window, rescue_window=rescue_window,
+            interpret=interpret,
         )
 
         out_rows = jnp.concatenate(
@@ -994,13 +1099,18 @@ def make_hybrid_step_sorted(
 
 
 def make_method_step(
-    scene, method, camera_index: int = 0, spatial_variant: str = "auto"
+    scene, method, camera_index: int = 0, spatial_variant: str = "auto",
+    cells_lookup: str = "auto",
 ) -> StepFn:
     """Factory over the three collision methods (ParticleSys.cs:667-698).
 
     ``spatial_variant``: "auto" picks the sorted block-window Pallas
     pipeline on TPU (the performance path) and the packed XLA path
     elsewhere; or name one of sorted/packed/stream/dense explicitly.
+
+    ``cells_lookup``: (start, count) lookup plan for the sorted variants
+    ("auto" / "gather" / "kernel"); the non-sorted variants have no such
+    plan and ignore it.
     """
     from particlesystemhybridcollisiondetection_tpu.config import Method
 
@@ -1011,7 +1121,9 @@ def make_method_step(
         if v == "auto":
             v = "sorted" if jax.default_backend() == "tpu" else "packed"
         if v == "sorted":
-            return make_spatial_step_sorted(scene.triangles, cfg)
+            return make_spatial_step_sorted(
+                scene.triangles, cfg, cells_lookup=cells_lookup
+            )
         return make_spatial_step_grid(scene.triangles, cfg, variant=v)
     camera = scene.cameras[camera_index]
     normals = getattr(scene, "corner_normals", None)
@@ -1021,8 +1133,29 @@ def make_method_step(
     if v == "auto":
         v = "sorted" if jax.default_backend() == "tpu" else "packed"
     if v == "sorted":
-        return make_hybrid_step_sorted(scene.triangles, cfg, camera, normals)
-    return make_hybrid_step(scene.triangles, cfg, camera, normals)
+        return make_hybrid_step_sorted(
+            scene.triangles, cfg, camera, normals, cells_lookup=cells_lookup
+        )
+    return make_hybrid_step(triangles=scene.triangles, cfg=cfg, camera=camera, normals=normals)
+
+
+def _auto_demote(demote, meta) -> int | None:
+    """Resolve the dense-cell demotion threshold.
+
+    "auto": off for low-density scenes (bunny-class, every cell fits the
+    window comfortably -- demotion would only add rescue chunks), on for
+    dense-cell scenes (dragon-class, max cell count > 255): there, one
+    dense cell inside a mixed block sets the whole block's candidate-loop
+    bound, so routing dense-cell lanes to the rescue pass (where they
+    pack into their own blocks) cuts the main kernel's block-iteration
+    total (measured on the 398k-tri dragon stand-in; see BASELINE.md
+    round-3 notes).
+    """
+    if demote != "auto":
+        return demote
+    if meta.max_tris_per_cell > 255:
+        return 192
+    return None
 
 
 def _auto_window(window, meta) -> int:
@@ -1057,6 +1190,7 @@ def make_spatial_step_sorted(
     mesh=None,
     axis_name: str = "data",
     cells_lookup: str = "auto",
+    dense_demote: "int | None | str" = "auto",
 ) -> StepFn:
     """Spatial method via the sorted block-window Pallas kernel (see
     ops/pallas/window_kernel.py) -- the TPU performance path.
@@ -1093,6 +1227,12 @@ def make_spatial_step_sorted(
 
     grid, meta = build_triangle_grid(triangles, cfg.grid)
     window = _auto_window(window, meta)
+    # rescue window: large enough to cover the densest cell (the
+    # rescue pass re-windows COMPACTED overflow particles, so only
+    # single-cell spans matter -- see _chunked_rescue); never below
+    # the main window
+    rescue_window = max(window, _auto_window(None, meta))
+    dense_demote = _auto_demote(dense_demote, meta)
     tables = build_window_tables(grid, meta, window)
     ctab = _maybe_code_table(grid, meta, cells_lookup)
     group = 8
@@ -1132,14 +1272,15 @@ def make_spatial_step_sorted(
 
         if ctab is not None:
             rel, count, ws, k_cap, overflow = _window_plan_coded(
-                key_s, ctab, window, nb, interpret=interpret
+                key_s, ctab, window, nb, interpret=interpret,
+                demote=dense_demote,
             )
         else:
             # linear cell id recomputed from the PERMUTED positions:
             # cheaper than carrying it as a third sort payload
             cid_s = cell_index(pos_s, meta)
             rel, count, ws, k_cap, overflow = _window_plan(
-                cid_s, tables.cells2, window, nb
+                cid_s, tables.cells2, window, nb, demote=dense_demote
             )
 
         pos_k, vel_k, hit_k = window_collide_sorted(
@@ -1149,11 +1290,12 @@ def make_spatial_step_sorted(
             interpret=interpret,
         )
 
-        pos_k, vel_k, hit_k, n_over = _chunked_fallback(
+        pos_k, vel_k, hit_k, n_over = _chunked_rescue(
             (pos_k, vel_k, hit_k),
             (pos_s, vel_s, radius_s, restit_s),
-            overflow, count, packed, meta, num_groups, group, gravity, cfg,
-            m_cap,
+            overflow, tables, packed, meta, num_groups, group, gravity, cfg,
+            m_cap, window=window, rescue_window=rescue_window,
+            interpret=interpret,
         )
 
         # --- unsort back to the caller's particle order ---
@@ -1275,6 +1417,7 @@ def make_sorted_episode_runner(
     mesh=None,
     axis_name: str = "data",
     cells_lookup: str = "auto",
+    dense_demote: "int | None | str" = "auto",
 ):
     """Episode runner with PERSISTENT sorted order.
 
@@ -1324,6 +1467,12 @@ def make_sorted_episode_runner(
 
     grid, meta = build_triangle_grid(triangles, cfg.grid)
     window = _auto_window(window, meta)
+    # rescue window: large enough to cover the densest cell (the
+    # rescue pass re-windows COMPACTED overflow particles, so only
+    # single-cell spans matter -- see _chunked_rescue); never below
+    # the main window
+    rescue_window = max(window, _auto_window(None, meta))
+    dense_demote = _auto_demote(dense_demote, meta)
     tables = build_window_tables(grid, meta, window)
     ctab = _maybe_code_table(grid, meta, cells_lookup)
     group = 8
@@ -1398,14 +1547,15 @@ def make_sorted_episode_runner(
         if ctab is not None:
             rel, count, ws, k_cap, overflow = _window_plan_coded(
                 key_s, ctab, window, nb, interpret=interpret,
-                active_s=active_s,
+                active_s=active_s, demote=dense_demote,
             )
         else:
             # linear cell id recomputed from the PERMUTED positions:
             # cheaper than carrying it as a third sort payload
             cid_s = cell_index(pos_s, meta)
             rel, count, ws, k_cap, overflow = _window_plan(
-                cid_s, tables.cells2, window, nb, active_s=active_s
+                cid_s, tables.cells2, window, nb, active_s=active_s,
+                demote=dense_demote,
             )
 
         pos_k, vel_k, hit_k = window_collide_sorted(
@@ -1415,12 +1565,12 @@ def make_sorted_episode_runner(
             interpret=interpret,
         )
 
-        pos_k, vel_k, hit_k, n_over = _chunked_fallback(
+        pos_k, vel_k, hit_k, n_over = _chunked_rescue(
             (pos_k, vel_k, hit_k),
             (pos_s, vel_s, radius_s, restit_s),
-            overflow, count, packed, meta, num_groups, group, gravity, cfg,
-            m_cap,
-            active_s=active_s,
+            overflow, tables, packed, meta, num_groups, group, gravity, cfg,
+            m_cap, window=window, rescue_window=rescue_window,
+            interpret=interpret,
         )
 
         # output stays in THIS step's sorted order
@@ -1451,12 +1601,13 @@ def make_sorted_episode_runner(
             key = morton_key(pos_s, meta)
             rel, count, ws, k_cap, overflow = _window_plan_coded(
                 key, ctab, window, nb, interpret=interpret,
-                active_s=active_s,
+                active_s=active_s, demote=dense_demote,
             )
         else:
             cid = cell_index(pos_s, meta)
             rel, count, ws, k_cap, overflow = _window_plan(
-                cid, tables.cells2, window, nb, active_s=active_s
+                cid, tables.cells2, window, nb, active_s=active_s,
+                demote=dense_demote,
             )
 
         pos_k, vel_k, hit_k = window_collide_sorted(
@@ -1466,12 +1617,12 @@ def make_sorted_episode_runner(
             interpret=interpret,
         )
 
-        pos_k, vel_k, hit_k, n_over = _chunked_fallback(
+        pos_k, vel_k, hit_k, n_over = _chunked_rescue(
             (pos_k, vel_k, hit_k),
             (pos_s, vel_s, radius_s, restit_s),
-            overflow, count, packed, meta, num_groups, group, gravity, cfg,
-            m_cap,
-            active_s=active_s,
+            overflow, tables, packed, meta, num_groups, group, gravity, cfg,
+            m_cap, window=window, rescue_window=rescue_window,
+            interpret=interpret,
         )
 
         out8 = jnp.concatenate([pos_k, vel_k, rows8[6:8]], axis=0)

@@ -142,6 +142,13 @@ class CodeTable(NamedTuple):
     packed: jnp.ndarray  # i32[1, CS_pad]
 
 
+# code-table size cap: cs_pad i32 entries.  2^26 entries = 256 MB --
+# far above any benchmark scene (bunny ~2M codes) but low enough that a
+# degenerate anisotropic grid cannot silently allocate GBs (the table is
+# sized by max Morton CODE ~ padded-dims cubed, not by occupied cells).
+_CODE_TABLE_MAX = 1 << 26
+
+
 def build_code_table(grid: TriangleGrid, meta: GridMeta, wc: int) -> CodeTable:
     """Host-build the Morton-code-indexed cells table (see CodeTable)."""
     from particlesystemhybridcollisiondetection_tpu.ops.grid import (
@@ -155,6 +162,14 @@ def build_code_table(grid: TriangleGrid, meta: GridMeta, wc: int) -> CodeTable:
         f"{p} pair rows exceed the 24-bit packed start; use the XLA "
         "gather plan for this grid"
     )
+    # _morton_spread encodes 10 bits/axis: any grid dim > 1024 would
+    # ALIAS distinct cells onto one code, and the packed[0, codes]
+    # scatter below keeps the last write -- wrong (start, count) with no
+    # miss flag.  Refuse instead (callers fall back to the gather plan).
+    assert max(meta.dims) <= 1024, (
+        f"grid dims {meta.dims} exceed the 10-bit Morton range; use the "
+        "XLA gather plan for this grid"
+    )
     codes = morton_cell_codes(meta)
     order = np.argsort(codes, kind="stable")
     counts_m = counts[order]
@@ -165,6 +180,10 @@ def build_code_table(grid: TriangleGrid, meta: GridMeta, wc: int) -> CodeTable:
 
     cs = int(codes.max()) + 1
     cs_pad = ((cs + wc) // LANE + 1) * LANE
+    assert cs_pad <= _CODE_TABLE_MAX, (
+        f"code table would hold {cs_pad} entries (> {_CODE_TABLE_MAX}); "
+        "use the XLA gather plan for this grid"
+    )
     packed = np.zeros((1, cs_pad), dtype=np.int64)
     packed[0, codes] = (start_by_cell << 8) | np.minimum(counts, 255)
     return CodeTable(packed=jnp.asarray(packed.astype(np.int32)))

@@ -162,6 +162,27 @@ def test_plan_chooser_tracks_phase_changes():
 
     # single candidate: no probing machinery engaged
     ch3 = PlanChooser(["only"])
-    assert [ch3.pick() for _ in range(3)][-1] == "only" or True
+    assert [ch3.pick() for _ in range(3)] == ["only"] * 3
     ch3.record("only", 1.0)
     assert ch3.pick() == "only"
+
+
+def test_plan_chooser_rotates_probes_over_all_losers():
+    """With 3+ plans, probes must rotate across ALL non-best plans
+    (least-recently-sampled first), not re-probe a fixed one (ADVICE r2:
+    a fixed first-loser probe leaves the others' samples stale)."""
+    from particlesystemhybridcollisiondetection_tpu.bench.harness import (
+        PlanChooser,
+    )
+
+    ch = PlanChooser(["A", "B", "C"])
+    picks = []
+    for i in range(120):
+        p = ch.pick()
+        picks.append(p)
+        # A always best; B and C close to each other
+        ch.record(p, {"A": 10.0, "B": 12.0, "C": 12.5}[p])
+    probes = [p for p in picks[3:] if p != "A"]
+    assert probes.count("B") >= 2 and probes.count("C") >= 2
+    # alternation: consecutive probes hit different losers
+    assert all(a != b for a, b in zip(probes, probes[1:]))

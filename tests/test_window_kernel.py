@@ -264,6 +264,78 @@ def test_code_table_dense_cell_marks_miss():
     assert (start[sl] == start_by_cell[sparse_cid]).all()
 
 
+def test_kernel_rescue_bitwise_plan_equality_under_overflow():
+    """Round-3 rescue pass: window-overflow particles are redone by the
+    SAME Pallas kernel on a compacted subset (_chunked_rescue), so the
+    gather and coded plans must agree BITWISE even when overflow is
+    rife -- previously the overflow lanes took the packed XLA fallback,
+    whose last-ulp differences could flip near-tie argmins
+    (benchmarks/study_hybrid_divergence.py)."""
+    scene = _fast_scene()
+    cfg = scene.config
+    state = spawn_grid(cfg, layers_y=1, pad_multiple=1024)
+    mask = np.asarray(active_mask(state))
+    # a 128-row window guarantees overflow once particles pile up
+    a_step = make_spatial_step_sorted(
+        scene.triangles, cfg, window=128, interpret=True,
+        cells_lookup="gather", with_stats=True,
+    )
+    b_step = make_spatial_step_sorted(
+        scene.triangles, cfg, window=128, interpret=True,
+        cells_lookup="kernel", with_stats=True,
+    )
+    wide = make_spatial_step_sorted(scene.triangles, cfg, interpret=True)
+    s = state
+    for _ in range(60):  # into the first-impact regime
+        s = wide(s)
+    a, st_a = a_step(s)
+    b, st_b = b_step(s)
+    assert int(st_a["window_overflow"]) > 0, "test needs real overflow"
+    np.testing.assert_array_equal(np.asarray(b.pos), np.asarray(a.pos))
+    np.testing.assert_array_equal(np.asarray(b.vel), np.asarray(a.vel))
+    np.testing.assert_array_equal(
+        np.asarray(b.collisions), np.asarray(a.collisions)
+    )
+    # and both agree with the packed-XLA reference to float tolerance
+    ref = make_spatial_step_grid(scene.triangles, cfg, variant="packed")(s)
+    np.testing.assert_array_equal(
+        np.asarray(a.collisions)[mask], np.asarray(ref.collisions)[mask]
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.pos)[:, mask], np.asarray(ref.pos)[:, mask],
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_dense_demote_is_exact():
+    """dense_demote routes dense-cell lanes to the rescue pass; results
+    must be identical to the undemoted step (the rescue kernel is the
+    same math on the same candidates in the same order)."""
+    scene = _fast_scene()
+    cfg = scene.config
+    state = spawn_grid(cfg, layers_y=1, pad_multiple=1024)
+    plain = make_spatial_step_sorted(
+        scene.triangles, cfg, interpret=True, dense_demote=None
+    )
+    demoted = make_spatial_step_sorted(
+        scene.triangles, cfg, interpret=True, dense_demote=2,
+        with_stats=True,
+    )
+    s = state
+    for k in range(70):
+        s = plain(s)
+        if k == 60:
+            probe = s
+    a = plain(probe)
+    b, st = demoted(probe)
+    assert int(st["window_overflow"]) > 0, "demote should mark dense lanes"
+    np.testing.assert_array_equal(np.asarray(b.pos), np.asarray(a.pos))
+    np.testing.assert_array_equal(np.asarray(b.vel), np.asarray(a.vel))
+    np.testing.assert_array_equal(
+        np.asarray(b.collisions), np.asarray(a.collisions)
+    )
+
+
 def test_hybrid_sorted_matches_hybrid_packed_smoke():
     from particlesystemhybridcollisiondetection_tpu.core.step import (
         make_hybrid_step,
