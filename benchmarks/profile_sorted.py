@@ -149,7 +149,7 @@ def main():
     def stage_plan(cid_s, info2):
         return _window_plan(cid_s, tables.cells2, window, nb)
 
-    rel, count, ws, k_cap, overflow = stage_plan(cid_s, info2)
+    rel, count, ws, k_cap, overflow, _ = stage_plan(cid_s, info2)
     print(f"window plan:       {timeit(stage_plan, cid_s, info2):6.2f} ms")
     print(f"  overflow now: {int(overflow.sum())} / {n}")
 

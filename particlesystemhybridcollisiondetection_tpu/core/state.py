@@ -60,6 +60,8 @@ def spawn_grid(
     restitution: Optional[np.ndarray] = None,
     cap: Optional[int] = REFERENCE_PARTICLE_CAP,
     dtype=jnp.float32,
+    jitter: float = 0.0,
+    seed: int = 0,
 ) -> ParticleState:
     """Spawn the reference's particle block.
 
@@ -102,6 +104,15 @@ def spawn_grid(
     pos[0] = star[0] - offset * i
     pos[1] = star[1] + offset * j * 4.0
     pos[2] = star[2] - offset * k
+
+    if jitter:
+        # ensemble-study perturbation (not part of the reference spawn):
+        # uniform [-jitter, jitter] * offset_xz on every axis, from a
+        # deterministic per-seed generator, so N jittered episodes sample
+        # the distribution of trajectories instead of one member
+        rng = np.random.default_rng(seed)
+        pos += rng.uniform(-jitter * offset, jitter * offset,
+                           size=(3, n_logical))
 
     n_pad = _pad_count(n_logical, pad_multiple)
     pos_p = np.full((3, n_pad), FLOAT_SENTINEL, dtype=np.float32)

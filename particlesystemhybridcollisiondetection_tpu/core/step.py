@@ -714,11 +714,12 @@ def _plan_tail(start, count, window: int, nb: int, miss=None, demote=None):
     # k_cap (one dense/overflowing cell no longer sets all 1024 lanes'
     # candidate-loop bound).  ws stays anchored to the pre-zeroing counts
     # so the non-overflow lanes' rel values are unchanged.
+    ovf_count = count  # pre-zeroing: orders the rescue compaction by density
     count = jnp.where(overflow, 0, count)
     k_cap = jnp.max(count.reshape(nb, SUB * LANE), axis=1)
     rel = jnp.where(count > 0, rel, 0)
     rel = jnp.clip(rel, 0, window - 1)
-    return rel, count, ws.reshape(nb, SUB), k_cap, overflow
+    return rel, count, ws.reshape(nb, SUB), k_cap, overflow, ovf_count
 
 
 _CODE_WC = 512  # per-sublane code-window size (bunny 1M settled: p99
@@ -825,6 +826,7 @@ def _chunked_rescue(
     *,
     window: int,
     rescue_window: int,
+    ovf_count=None,
     interpret: bool = False,
 ):
     """Exact redo for window-overflow particles: compacted KERNEL rescue
@@ -879,10 +881,16 @@ def _chunked_rescue(
     m_eff = max(BLOCK, (min(m_cap, n) // BLOCK) * BLOCK)
     nb2 = m_eff // BLOCK
     n_over = jnp.sum(overflow.astype(jnp.int32))
-    # compaction preserving the carried (Morton-sorted) order: overflow
-    # lanes first, in position order -- same-cell particles stay adjacent
+    # compaction order: overflow lanes first, DENSEST cells first, stable
+    # Morton order within equal density.  Density-first concentrates the
+    # expensive cells into the fewest chunks (each chunk's adaptive
+    # bounds then only pay for what it holds -- the round-2 lesson), and
+    # the stable tiebreak keeps same-cell particles adjacent so the
+    # rescue kernel's per-sublane windows stay compact.  Coded-plan miss
+    # lanes carry ovf_count == 0 and sort last, still in Morton order.
     big = jnp.int32(1 << 30)
-    key = jnp.where(overflow, jnp.arange(n, dtype=jnp.int32), big)
+    density = jnp.zeros((n,), jnp.int32) if ovf_count is None else ovf_count
+    key = jnp.where(overflow, -density, big)
     ord2 = jnp.argsort(key, stable=True)
 
     def chunk_cond(carry):
@@ -901,22 +909,44 @@ def _chunked_rescue(
         # lanes carry no valid start/count, so always re-derive here)
         info = tables.cells2[:, cell_index(pos_c, meta)]
         count_c = jnp.where(redo, info[1], 0)  # padding lanes do nothing
-        rel, cnt, ws, k_cap, over2 = _plan_tail(
+        rel, cnt, ws, k_cap, over2, _ = _plan_tail(
             info[0], count_c, rescue_window, nb2
         )
-        pos_o, vel_o, hit_o = window_collide_sorted(
-            pos_c, vel_c, rad_c, res_c, rel, cnt, ws, k_cap, tables,
-            w=rescue_window, k_static=meta.max_tris_per_cell,
-            gravity=cfg.gravity, dt=cfg.dt, backoff=cfg.backoff,
-            interpret=interpret,
+        # Run the rescue kernel only when it can decide a majority of the
+        # chunk: scattered overflow (drifted settled rows on sparse
+        # scenes) puts ~100+ distinct cells in each compacted sublane, so
+        # every rescue window overflows and the kernel pass would be pure
+        # overhead on top of the packed redo it cannot avoid.  Dense-cell
+        # overflow (the case the rescue exists for) packs same-cell
+        # particles into shared sublanes and fits ~100%.
+        n_redo = jnp.sum(redo.astype(jnp.int32))
+        n_unfit = jnp.sum(over2.astype(jnp.int32))
+        use_kernel = n_unfit * 2 < n_redo
+
+        def with_kernel(_):
+            return window_collide_sorted(
+                pos_c, vel_c, rad_c, res_c, rel, cnt, ws, k_cap, tables,
+                w=rescue_window, k_static=meta.max_tris_per_cell,
+                gravity=cfg.gravity, dt=cfg.dt, backoff=cfg.backoff,
+                interpret=interpret,
+            )
+
+        def without_kernel(_):
+            # placeholders only: every redo lane is overwritten by the
+            # packed pass below (need_packed == redo on this branch)
+            return pos_c, vel_c, jnp.zeros((m_eff,), dtype=jnp.int32)
+
+        pos_o, vel_o, hit_o = jax.lax.cond(
+            use_kernel, with_kernel, without_kernel, None
         )
+        need_packed = jnp.where(use_kernel, over2, redo)
 
         def packed_redo(args):
             pos_o, vel_o, hit_o = args
-            # sentinel positions for the settled lanes keep their (dense)
+            # sentinel positions for the decided lanes keep their (dense)
             # cells out of the packed pass's adaptive group bound
             mini = ParticleState(
-                pos=jnp.where(over2[None], pos_c, 1.0e38),
+                pos=jnp.where(need_packed[None], pos_c, 1.0e38),
                 vel=vel_c,
                 collisions=jnp.zeros((m_eff,), dtype=jnp.int32),
                 radius=rad_c,
@@ -924,17 +954,17 @@ def _chunked_rescue(
             )
             mini = spatial_collide_packed(
                 mini, packed, meta, num_groups, group, gravity, cfg.dt,
-                cfg.backoff, active=over2,
+                cfg.backoff, active=need_packed,
             )
             fb_pos, fb_vel = integrate(mini.pos, mini.vel, gravity, cfg.dt)
             return (
-                jnp.where(over2[None], fb_pos, pos_o),
-                jnp.where(over2[None], fb_vel, vel_o),
-                jnp.where(over2, mini.collisions, hit_o),
+                jnp.where(need_packed[None], fb_pos, pos_o),
+                jnp.where(need_packed[None], fb_vel, vel_o),
+                jnp.where(need_packed, mini.collisions, hit_o),
             )
 
         pos_o, vel_o, hit_o = jax.lax.cond(
-            jnp.any(over2), packed_redo, lambda args: args,
+            jnp.any(need_packed), packed_redo, lambda args: args,
             (pos_o, vel_o, hit_o),
         )
         pos_k = pos_k.at[:, pick].set(
@@ -1042,7 +1072,7 @@ def make_hybrid_step_sorted(
         active_s = rows_s[8] > 0.5
 
         if ctab is not None:
-            rel, count, ws, k_cap, overflow = _window_plan_coded(
+            rel, count, ws, k_cap, overflow, ovf_count = _window_plan_coded(
                 key_s, ctab, window, nb, interpret=interpret,
                 active_s=active_s, demote=dense_demote,
             )
@@ -1050,7 +1080,7 @@ def make_hybrid_step_sorted(
             # linear cell id recomputed from the PERMUTED positions:
             # cheaper than carrying it as a third sort payload
             cid_s = cell_index(pos_s, meta)
-            rel, count, ws, k_cap, overflow = _window_plan(
+            rel, count, ws, k_cap, overflow, ovf_count = _window_plan(
                 cid_s, tables.cells2, window, nb, active_s=active_s,
                 demote=dense_demote,
             )
@@ -1067,6 +1097,7 @@ def make_hybrid_step_sorted(
             (pos_s, vel_s, radius_s, restit_s),
             overflow, tables, packed, meta, num_groups, group, gravity, cfg,
             m_cap, window=window, rescue_window=rescue_window,
+            ovf_count=ovf_count,
             interpret=interpret,
         )
 
@@ -1271,7 +1302,7 @@ def make_spatial_step_sorted(
         restit_s = rows_s[7]
 
         if ctab is not None:
-            rel, count, ws, k_cap, overflow = _window_plan_coded(
+            rel, count, ws, k_cap, overflow, ovf_count = _window_plan_coded(
                 key_s, ctab, window, nb, interpret=interpret,
                 demote=dense_demote,
             )
@@ -1279,7 +1310,7 @@ def make_spatial_step_sorted(
             # linear cell id recomputed from the PERMUTED positions:
             # cheaper than carrying it as a third sort payload
             cid_s = cell_index(pos_s, meta)
-            rel, count, ws, k_cap, overflow = _window_plan(
+            rel, count, ws, k_cap, overflow, ovf_count = _window_plan(
                 cid_s, tables.cells2, window, nb, demote=dense_demote
             )
 
@@ -1295,6 +1326,7 @@ def make_spatial_step_sorted(
             (pos_s, vel_s, radius_s, restit_s),
             overflow, tables, packed, meta, num_groups, group, gravity, cfg,
             m_cap, window=window, rescue_window=rescue_window,
+            ovf_count=ovf_count,
             interpret=interpret,
         )
 
@@ -1545,7 +1577,7 @@ def make_sorted_episode_runner(
         restit_s = rows_s[7]
 
         if ctab is not None:
-            rel, count, ws, k_cap, overflow = _window_plan_coded(
+            rel, count, ws, k_cap, overflow, ovf_count = _window_plan_coded(
                 key_s, ctab, window, nb, interpret=interpret,
                 active_s=active_s, demote=dense_demote,
             )
@@ -1553,7 +1585,7 @@ def make_sorted_episode_runner(
             # linear cell id recomputed from the PERMUTED positions:
             # cheaper than carrying it as a third sort payload
             cid_s = cell_index(pos_s, meta)
-            rel, count, ws, k_cap, overflow = _window_plan(
+            rel, count, ws, k_cap, overflow, ovf_count = _window_plan(
                 cid_s, tables.cells2, window, nb, active_s=active_s,
                 demote=dense_demote,
             )
@@ -1570,6 +1602,7 @@ def make_sorted_episode_runner(
             (pos_s, vel_s, radius_s, restit_s),
             overflow, tables, packed, meta, num_groups, group, gravity, cfg,
             m_cap, window=window, rescue_window=rescue_window,
+            ovf_count=ovf_count,
             interpret=interpret,
         )
 
@@ -1599,13 +1632,13 @@ def make_sorted_episode_runner(
             # particles that left their sublane's code window fold into
             # the overflow -> exact fallback, like the pair windows
             key = morton_key(pos_s, meta)
-            rel, count, ws, k_cap, overflow = _window_plan_coded(
+            rel, count, ws, k_cap, overflow, ovf_count = _window_plan_coded(
                 key, ctab, window, nb, interpret=interpret,
                 active_s=active_s, demote=dense_demote,
             )
         else:
             cid = cell_index(pos_s, meta)
-            rel, count, ws, k_cap, overflow = _window_plan(
+            rel, count, ws, k_cap, overflow, ovf_count = _window_plan(
                 cid, tables.cells2, window, nb, active_s=active_s,
                 demote=dense_demote,
             )
@@ -1622,6 +1655,7 @@ def make_sorted_episode_runner(
             (pos_s, vel_s, radius_s, restit_s),
             overflow, tables, packed, meta, num_groups, group, gravity, cfg,
             m_cap, window=window, rescue_window=rescue_window,
+            ovf_count=ovf_count,
             interpret=interpret,
         )
 
@@ -1700,7 +1734,7 @@ def sorted_step_overflow_count(triangles, cfg: SimConfig, state, window: int = 5
         (morton_key(state.pos, meta), cell_index(state.pos, meta)),
         num_keys=1,
     )
-    _, _, _, _, overflow = _window_plan(cid_s, tables.cells2, window, nb)
+    _, _, _, _, overflow, _ = _window_plan(cid_s, tables.cells2, window, nb)
     return int(jnp.sum(overflow))
 
 

@@ -69,3 +69,31 @@ def test_active_mask_tracks_sentinels():
     m = np.asarray(active_mask(state))
     assert m.sum() == 49
     assert m[:49].all() and not m[49:].any()
+
+
+def test_spawn_jitter_deterministic_and_bounded():
+    """Ensemble-study jitter: per-seed deterministic, bounded by
+    jitter * offset_xz on every axis, and leaves sentinels untouched."""
+    cfg = PRESETS["sample"]
+    base = spawn_grid(cfg, layers_y=2, pad_multiple=128)
+    a = spawn_grid(cfg, layers_y=2, pad_multiple=128, jitter=0.05, seed=3)
+    b = spawn_grid(cfg, layers_y=2, pad_multiple=128, jitter=0.05, seed=3)
+    c = spawn_grid(cfg, layers_y=2, pad_multiple=128, jitter=0.05, seed=4)
+
+    pa, pb, pc, p0 = (np.asarray(s.pos) for s in (a, b, c, base))
+    m = np.asarray(active_mask(base))
+    n = int(m.sum())
+
+    # same seed -> bitwise identical; different seed -> different
+    np.testing.assert_array_equal(pa, pb)
+    assert not np.array_equal(pa[:, :n], pc[:, :n])
+
+    # perturbation bounded by jitter * offset_xz on every axis, nonzero
+    d = pa[:, :n] - p0[:, :n]
+    bound = 0.05 * cfg.offset_xz
+    assert np.abs(d).max() <= bound + 1e-7
+    assert np.abs(d).max() > 0.0
+
+    # sentinel padding rows untouched
+    np.testing.assert_array_equal(pa[:, n:], p0[:, n:])
+    assert (pa[0, n:] == FLOAT_SENTINEL).all()
