@@ -826,45 +826,53 @@ def _chunked_rescue(
     *,
     window: int,
     rescue_window: int,
+    key_s=None,
     ovf_count=None,
+    kernel_chunk: int = 8192,
     interpret: bool = False,
 ):
-    """Exact redo for window-overflow particles: compacted KERNEL rescue
-    with a packed-XLA last resort, in m_cap-sized chunks.
+    """Exact redo for window-overflow particles, in two phases.
 
-    Round 2 ran the packed XLA narrow phase on every overflow particle;
-    its cost concentrated in the few dense chunks and dominated
-    settled-phase steps (VERDICT r2 weak #2), and a second PAIRS window
-    inside the main kernel rescues only 38-41% of overflow because
-    drifted rows go multi-modal in pair space
-    (benchmarks/study_pair_windows.py).  The round-3 observation: the
-    overflow SET is compact after compaction -- overflow particles live
-    in few (dense or drifted) cells, and compacting them in sorted order
-    preserves Morton locality, so a sublane of 128 compacted overflow
-    particles covers a compact pair-row range and fits a FRESH
-    per-sublane window regardless of the row's original modality.  Each
-    chunk therefore:
+    Round 2 ran the packed XLA narrow phase on every overflow particle
+    (~0.33 us/particle measured at 1M settled); its cost dominated
+    settled-phase steps (VERDICT r2 weak #2) once drift between lazy
+    re-sorts pushed overflow to 13-17k/step.  A second PAIRS window
+    inside the main kernel rescues only 38-41% (multi-modal drift,
+    benchmarks/study_pair_windows.py), and density-first compaction
+    (round 3, first cut) fits the rescue kernel's windows only 3-15%
+    because ordering by density DESTROYS row locality.  The measured
+    fix (benchmarks/study_rescue_cost.py, 2026-08-18): compact overflow
+    by the CURRENT Morton code -- pair rows are in Morton cell order, so
+    consecutive overflow particles cover a compact row range and fit a
+    fresh per-sublane window 82-91% of the time (rw=1024/2048) even for
+    scattered drift overflow.  Hence:
 
-      1. gathers fresh (start, count) for its m_cap particles from the
-         cells table (m_cap indices, not N -- this also repairs
-         coded-plan lookup misses, which carry no (start, count) at all),
-      2. re-runs the SAME Pallas window kernel on the compacted subset
-         (bit-identical math to the main pass: a particle's result no
-         longer depends on which pass computed it, so coded-plan misses
-         do not switch estimator -- see
-         benchmarks/study_hybrid_divergence.py for what that used to
-         cost),
-      3. lanes whose rescue window STILL overflows (candidate span >
-         rescue_window, e.g. cells denser than the 2048-row window cap)
-         take the packed XLA narrow phase under a ``lax.cond``, so clean
-         chunks skip it entirely.
+    Phase 1 (kernel rescue, ``kernel_chunk``-sized chunks): compact
+    overflow lanes in current-Morton order (``key_s``), gather fresh
+    (start, count) from the cells table (this also repairs coded-plan
+    lookup misses, which carry no (start, count) at all), and re-run the
+    SAME Pallas window kernel with ``rescue_window``-row windows --
+    bit-identical math to the main pass, so a particle's result does not
+    depend on which pass computed it (see
+    benchmarks/study_hybrid_divergence.py for what estimator-switching
+    used to cost).  A per-chunk gate skips the kernel when its windows
+    cannot decide a majority (pathologically scattered chunks).
 
-    Exact for ANY overflow count (the while_loop walks every chunk; when
-    nothing overflows the body never runs and the step pays one argsort).
+    Phase 2 (packed XLA, ``m_cap``-sized chunks, only if anything is
+    left): lanes whose rescue window STILL overflows are compacted
+    densest-cells-first (concentrating expensive cells into few chunks;
+    each chunk's adaptive group bound then only pays for what it holds)
+    and take the packed narrow phase.  The whole phase -- including its
+    argsort -- is skipped by ``lax.cond`` when phase 1 decided everything.
+
+    Exact for ANY overflow count (the while_loops walk every chunk; when
+    nothing overflows no body runs and the step pays one argsort).
 
     kernel_out: (pos_k [3,N], vel_k [3,N], hit_k i32[N]) from the window
     kernel.  sorted_state: (pos_s, vel_s, radius_s, restit_s) in sorted
-    order.  Returns (pos_k, vel_k, hit_k, n_over).
+    order.  key_s: current-position Morton codes (the phase-1 compaction
+    key); None skips phase 1 entirely.  Returns (pos_k, vel_k, hit_k,
+    n_over).
     """
     from particlesystemhybridcollisiondetection_tpu.ops.grid import (
         cell_index,
@@ -877,109 +885,123 @@ def _chunked_rescue(
     pos_k, vel_k, hit_k = kernel_out
     pos_s, vel_s, radius_s, restit_s = sorted_state
     n = pos_s.shape[-1]
-    # the rescue kernel runs on whole 1024-particle blocks
-    m_eff = max(BLOCK, (min(m_cap, n) // BLOCK) * BLOCK)
-    nb2 = m_eff // BLOCK
     n_over = jnp.sum(overflow.astype(jnp.int32))
-    # compaction order: overflow lanes first, DENSEST cells first, stable
-    # Morton order within equal density.  Density-first concentrates the
-    # expensive cells into the fewest chunks (each chunk's adaptive
-    # bounds then only pay for what it holds -- the round-2 lesson), and
-    # the stable tiebreak keeps same-cell particles adjacent so the
-    # rescue kernel's per-sublane windows stay compact.  Coded-plan miss
-    # lanes carry ovf_count == 0 and sort last, still in Morton order.
     big = jnp.int32(1 << 30)
-    density = jnp.zeros((n,), jnp.int32) if ovf_count is None else ovf_count
-    key = jnp.where(overflow, -density, big)
-    ord2 = jnp.argsort(key, stable=True)
+    still = overflow
 
-    def chunk_cond(carry):
-        c, _, _, _ = carry
-        return c * m_eff < n_over
+    if key_s is not None:
+        # ---- phase 1: Morton-compacted kernel rescue ----
+        m1 = max(BLOCK, (min(kernel_chunk, n) // BLOCK) * BLOCK)
+        nb1 = m1 // BLOCK
+        ord1 = jnp.argsort(jnp.where(overflow, key_s, big), stable=True)
 
-    def chunk_body(carry):
-        c, pos_k, vel_k, hit_k = carry
-        pick = jax.lax.dynamic_slice(ord2, (c * m_eff,), (m_eff,))
-        redo = overflow[pick]  # only true-overflow lanes get written back
-        pos_c = pos_s[:, pick]
-        vel_c = vel_s[:, pick]
-        rad_c = radius_s[pick]
-        res_c = restit_s[pick]
-        # fresh (start, count): m_eff-index planar gather (coded-plan miss
-        # lanes carry no valid start/count, so always re-derive here)
-        info = tables.cells2[:, cell_index(pos_c, meta)]
-        count_c = jnp.where(redo, info[1], 0)  # padding lanes do nothing
-        rel, cnt, ws, k_cap, over2, _ = _plan_tail(
-            info[0], count_c, rescue_window, nb2
-        )
-        # Run the rescue kernel only when it can decide a majority of the
-        # chunk: scattered overflow (drifted settled rows on sparse
-        # scenes) puts ~100+ distinct cells in each compacted sublane, so
-        # every rescue window overflows and the kernel pass would be pure
-        # overhead on top of the packed redo it cannot avoid.  Dense-cell
-        # overflow (the case the rescue exists for) packs same-cell
-        # particles into shared sublanes and fits ~100%.
-        n_redo = jnp.sum(redo.astype(jnp.int32))
-        n_unfit = jnp.sum(over2.astype(jnp.int32))
-        use_kernel = n_unfit * 2 < n_redo
+        def p1_cond(carry):
+            return carry[0] * m1 < n_over
 
-        def with_kernel(_):
-            return window_collide_sorted(
-                pos_c, vel_c, rad_c, res_c, rel, cnt, ws, k_cap, tables,
-                w=rescue_window, k_static=meta.max_tris_per_cell,
-                gravity=cfg.gravity, dt=cfg.dt, backoff=cfg.backoff,
-                interpret=interpret,
+        def p1_body(carry):
+            c, pos_k, vel_k, hit_k, still = carry
+            pick = jax.lax.dynamic_slice(ord1, (c * m1,), (m1,))
+            redo = overflow[pick]
+            pos_c = pos_s[:, pick]
+            vel_c = vel_s[:, pick]
+            rad_c = radius_s[pick]
+            res_c = restit_s[pick]
+            # fresh (start, count): m1-index planar gather
+            info = tables.cells2[:, cell_index(pos_c, meta)]
+            count_c = jnp.where(redo, info[1], 0)  # padding lanes inert
+            rel, cnt, ws, k_cap, unfit, _ = _plan_tail(
+                info[0], count_c, rescue_window, nb1
             )
+            n_redo = jnp.sum(redo.astype(jnp.int32))
+            n_unfit = jnp.sum(unfit.astype(jnp.int32))
+            use_kernel = n_unfit * 2 < n_redo
 
-        def without_kernel(_):
-            # placeholders only: every redo lane is overwritten by the
-            # packed pass below (need_packed == redo on this branch)
-            return pos_c, vel_c, jnp.zeros((m_eff,), dtype=jnp.int32)
+            def with_kernel(_):
+                return window_collide_sorted(
+                    pos_c, vel_c, rad_c, res_c, rel, cnt, ws, k_cap,
+                    tables, w=rescue_window,
+                    k_static=meta.max_tris_per_cell,
+                    gravity=cfg.gravity, dt=cfg.dt, backoff=cfg.backoff,
+                    interpret=interpret,
+                )
 
-        pos_o, vel_o, hit_o = jax.lax.cond(
-            use_kernel, with_kernel, without_kernel, None
+            def without_kernel(_):
+                # placeholders: every redo lane stays in ``still`` and is
+                # overwritten by phase 2
+                return pos_c, vel_c, jnp.zeros((m1,), dtype=jnp.int32)
+
+            pos_o, vel_o, hit_o = jax.lax.cond(
+                use_kernel, with_kernel, without_kernel, None
+            )
+            decided = redo & ~unfit & use_kernel
+            pos_k = pos_k.at[:, pick].set(
+                jnp.where(decided[None], pos_o, pos_k[:, pick])
+            )
+            vel_k = vel_k.at[:, pick].set(
+                jnp.where(decided[None], vel_o, vel_k[:, pick])
+            )
+            hit_k = hit_k.at[pick].set(
+                jnp.where(decided, hit_o, hit_k[pick])
+            )
+            still = still.at[pick].set(redo & ~decided)
+            return c + 1, pos_k, vel_k, hit_k, still
+
+        _, pos_k, vel_k, hit_k, still = jax.lax.while_loop(
+            p1_cond, p1_body, (jnp.int32(0), pos_k, vel_k, hit_k, still)
         )
-        need_packed = jnp.where(use_kernel, over2, redo)
 
-        def packed_redo(args):
-            pos_o, vel_o, hit_o = args
-            # sentinel positions for the decided lanes keep their (dense)
+    # ---- phase 2: packed XLA on whatever is left ----
+    n_still = jnp.sum(still.astype(jnp.int32))
+    m2 = max(BLOCK, (min(m_cap, n) // BLOCK) * BLOCK)
+    density = jnp.zeros((n,), jnp.int32) if ovf_count is None else ovf_count
+
+    def phase2(args):
+        pos_k, vel_k, hit_k = args
+        ord2 = jnp.argsort(jnp.where(still, -density, big), stable=True)
+
+        def p2_cond(carry):
+            return carry[0] * m2 < n_still
+
+        def p2_body(carry):
+            c, pos_k, vel_k, hit_k = carry
+            pick = jax.lax.dynamic_slice(ord2, (c * m2,), (m2,))
+            redo = still[pick]
+            pos_c = pos_s[:, pick]
+            vel_c = vel_s[:, pick]
+            rad_c = radius_s[pick]
+            res_c = restit_s[pick]
+            # sentinel positions for non-redo lanes keep their (dense)
             # cells out of the packed pass's adaptive group bound
             mini = ParticleState(
-                pos=jnp.where(need_packed[None], pos_c, 1.0e38),
+                pos=jnp.where(redo[None], pos_c, 1.0e38),
                 vel=vel_c,
-                collisions=jnp.zeros((m_eff,), dtype=jnp.int32),
+                collisions=jnp.zeros((m2,), dtype=jnp.int32),
                 radius=rad_c,
                 restitution=res_c,
             )
             mini = spatial_collide_packed(
                 mini, packed, meta, num_groups, group, gravity, cfg.dt,
-                cfg.backoff, active=need_packed,
+                cfg.backoff, active=redo,
             )
             fb_pos, fb_vel = integrate(mini.pos, mini.vel, gravity, cfg.dt)
-            return (
-                jnp.where(need_packed[None], fb_pos, pos_o),
-                jnp.where(need_packed[None], fb_vel, vel_o),
-                jnp.where(need_packed, mini.collisions, hit_o),
+            pos_k = pos_k.at[:, pick].set(
+                jnp.where(redo[None], fb_pos, pos_k[:, pick])
             )
+            vel_k = vel_k.at[:, pick].set(
+                jnp.where(redo[None], fb_vel, vel_k[:, pick])
+            )
+            hit_k = hit_k.at[pick].set(
+                jnp.where(redo, mini.collisions, hit_k[pick])
+            )
+            return c + 1, pos_k, vel_k, hit_k
 
-        pos_o, vel_o, hit_o = jax.lax.cond(
-            jnp.any(need_packed), packed_redo, lambda args: args,
-            (pos_o, vel_o, hit_o),
+        _, pos_k, vel_k, hit_k = jax.lax.while_loop(
+            p2_cond, p2_body, (jnp.int32(0), pos_k, vel_k, hit_k)
         )
-        pos_k = pos_k.at[:, pick].set(
-            jnp.where(redo[None], pos_o, pos_k[:, pick])
-        )
-        vel_k = vel_k.at[:, pick].set(
-            jnp.where(redo[None], vel_o, vel_k[:, pick])
-        )
-        hit_k = hit_k.at[pick].set(
-            jnp.where(redo, hit_o, hit_k[pick])
-        )
-        return c + 1, pos_k, vel_k, hit_k
+        return pos_k, vel_k, hit_k
 
-    _, pos_k, vel_k, hit_k = jax.lax.while_loop(
-        chunk_cond, chunk_body, (jnp.int32(0), pos_k, vel_k, hit_k)
+    pos_k, vel_k, hit_k = jax.lax.cond(
+        n_still > 0, phase2, lambda args: args, (pos_k, vel_k, hit_k)
     )
     return pos_k, vel_k, hit_k, n_over
 
@@ -991,7 +1013,7 @@ def make_hybrid_step_sorted(
     normals=None,
     *,
     window: int | None = None,
-    fallback_capacity: int = 8192,
+    fallback_capacity: int = 1024,
     interpret: bool = False,
     with_stats: bool = False,
     mesh=None,
@@ -1035,9 +1057,9 @@ def make_hybrid_step_sorted(
     # rescue pass re-windows COMPACTED overflow particles, so only
     # single-cell spans matter -- see _chunked_rescue); never below
     # the main window
-    rescue_window = max(window, _auto_window(None, meta))
+    rescue_window = max(window, _auto_window(None, meta), 2048)
     dense_demote = _auto_demote(dense_demote, meta)
-    tables = build_window_tables(grid, meta, window)
+    tables = build_window_tables(grid, meta, max(window, rescue_window))
     ctab = _maybe_code_table(grid, meta, cells_lookup)
     group = 8
     packed, num_groups = pack_grid(grid, meta, group=group)
@@ -1097,7 +1119,7 @@ def make_hybrid_step_sorted(
             (pos_s, vel_s, radius_s, restit_s),
             overflow, tables, packed, meta, num_groups, group, gravity, cfg,
             m_cap, window=window, rescue_window=rescue_window,
-            ovf_count=ovf_count,
+            key_s=key_s, ovf_count=ovf_count,
             interpret=interpret,
         )
 
@@ -1215,7 +1237,7 @@ def make_spatial_step_sorted(
     cfg: SimConfig,
     *,
     window: int | None = None,
-    fallback_capacity: int = 8192,
+    fallback_capacity: int = 1024,
     interpret: bool = False,
     with_stats: bool = False,
     mesh=None,
@@ -1262,9 +1284,9 @@ def make_spatial_step_sorted(
     # rescue pass re-windows COMPACTED overflow particles, so only
     # single-cell spans matter -- see _chunked_rescue); never below
     # the main window
-    rescue_window = max(window, _auto_window(None, meta))
+    rescue_window = max(window, _auto_window(None, meta), 2048)
     dense_demote = _auto_demote(dense_demote, meta)
-    tables = build_window_tables(grid, meta, window)
+    tables = build_window_tables(grid, meta, max(window, rescue_window))
     ctab = _maybe_code_table(grid, meta, cells_lookup)
     group = 8
     packed, num_groups = pack_grid(grid, meta, group=group)
@@ -1326,7 +1348,7 @@ def make_spatial_step_sorted(
             (pos_s, vel_s, radius_s, restit_s),
             overflow, tables, packed, meta, num_groups, group, gravity, cfg,
             m_cap, window=window, rescue_window=rescue_window,
-            ovf_count=ovf_count,
+            key_s=key_s, ovf_count=ovf_count,
             interpret=interpret,
         )
 
@@ -1441,7 +1463,7 @@ def make_sorted_episode_runner(
     cfg: SimConfig,
     *,
     window: int | None = None,
-    fallback_capacity: int = 8192,
+    fallback_capacity: int = 1024,
     interpret: bool = False,
     resort_every: int = 1,
     camera=None,
@@ -1503,9 +1525,9 @@ def make_sorted_episode_runner(
     # rescue pass re-windows COMPACTED overflow particles, so only
     # single-cell spans matter -- see _chunked_rescue); never below
     # the main window
-    rescue_window = max(window, _auto_window(None, meta))
+    rescue_window = max(window, _auto_window(None, meta), 2048)
     dense_demote = _auto_demote(dense_demote, meta)
-    tables = build_window_tables(grid, meta, window)
+    tables = build_window_tables(grid, meta, max(window, rescue_window))
     ctab = _maybe_code_table(grid, meta, cells_lookup)
     group = 8
     packed, num_groups = pack_grid(grid, meta, group=group)
@@ -1602,7 +1624,7 @@ def make_sorted_episode_runner(
             (pos_s, vel_s, radius_s, restit_s),
             overflow, tables, packed, meta, num_groups, group, gravity, cfg,
             m_cap, window=window, rescue_window=rescue_window,
-            ovf_count=ovf_count,
+            key_s=key_s, ovf_count=ovf_count,
             interpret=interpret,
         )
 
@@ -1627,13 +1649,14 @@ def make_sorted_episode_runner(
         radius_s = rows8[6]
         restit_s = rows8[7]
 
+        # drifted order: codes recomputed elementwise (also the rescue's
+        # phase-1 compaction key); drifted particles that left their
+        # sublane's code window fold into the overflow -> exact fallback,
+        # like the pair windows
+        key_s = morton_key(pos_s, meta)
         if ctab is not None:
-            # drifted order: codes recomputed elementwise; drifted
-            # particles that left their sublane's code window fold into
-            # the overflow -> exact fallback, like the pair windows
-            key = morton_key(pos_s, meta)
             rel, count, ws, k_cap, overflow, ovf_count = _window_plan_coded(
-                key, ctab, window, nb, interpret=interpret,
+                key_s, ctab, window, nb, interpret=interpret,
                 active_s=active_s, demote=dense_demote,
             )
         else:
@@ -1655,7 +1678,7 @@ def make_sorted_episode_runner(
             (pos_s, vel_s, radius_s, restit_s),
             overflow, tables, packed, meta, num_groups, group, gravity, cfg,
             m_cap, window=window, rescue_window=rescue_window,
-            ovf_count=ovf_count,
+            key_s=key_s, ovf_count=ovf_count,
             interpret=interpret,
         )
 
