@@ -60,11 +60,12 @@ def _box_state(n, box_lo, box_hi, radius, restitution, seed=0, hetero=False):
 def _time_steps(step, state, steps, chunk=50):
     """Python-loop dispatch, fenced per chunk.
 
-    Deliberately NOT lax.fori_loop (make_episode_runner): fori-wrapping
-    compiles the step body 4.7x slower on TPU, and for the p2p kernel
-    variant it would re-fuse the two deliberately separate programs into
-    the monolithic form that crashes the TPU worker at 1M (see
-    p2p_window_phase1).
+    Deliberately NOT lax.fori_loop (make_episode_runner): for the p2p
+    kernel variant fori-wrapping would re-fuse the two deliberately
+    separate programs into the monolithic form that crashes the TPU
+    worker at 1M (see p2p_window_phase1).  Runtime is otherwise at
+    parity (benchmarks/study_fori_loop.py -- the round-1 "4.7x slower"
+    came from captured-constant tables, long gone).
     """
     from particlesystemhybridcollisiondetection_tpu.utils.profiling import fence
 

@@ -187,7 +187,8 @@ def cmd_p2pbox(args) -> int:
     jax.block_until_ready(state.pos)
     # Python-loop dispatch, not make_episode_runner: fori-wrapping would
     # re-fuse the p2p kernel variant's two deliberately separate programs
-    # (see p2p_window_phase1) and compiles 4.7x slower on TPU anyway
+    # (see p2p_window_phase1); runtime is at parity either way
+    # (benchmarks/study_fori_loop.py)
     t0 = time.perf_counter()
     done = 0
     while done < args.steps:
