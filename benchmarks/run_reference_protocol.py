@@ -28,7 +28,8 @@ def main() -> int:
 
     enable_persistent_cache()
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scene", default="bunny", choices=["sample", "bunny", "dragon", "dragons"])
+    ap.add_argument("--scene", default="bunny",
+                    choices=["sample", "bunny", "dragon", "dragons", "sphere"])
     ap.add_argument("--out", default="BenchmarkResults")
     ap.add_argument("--runs", type=int, default=6, help="reference: 6 (DragonScene.unity:1894)")
     ap.add_argument("--steps", type=int, default=None, help="reference: lifetime_steps (2001)")
@@ -98,6 +99,9 @@ def main() -> int:
             }
             all_summaries.append(line)
             print(json.dumps(line), flush=True)
+    # raw per-episode rows; run-variance moments + transport-noise
+    # quarantine live in the harness-written aggregate_<scene>.json /
+    # summary_<scene>.json next to this file (harness._write_aggregates)
     with open(f"{args.out}/protocol_{scene.name}.json", "w") as f:
         json.dump(all_summaries, f, indent=2)
     print(f"total wall: {time.time() - t0:.0f}s")
