@@ -24,6 +24,16 @@ def merge(base_path: str, new_path: str) -> int:
     with open(new_path) as f:
         fresh = json.load(f)
 
+    # rows from before the run field existed: enumerate duplicates in
+    # file order so they do not collapse to a single (..., run=0) key
+    import collections
+    seen = collections.Counter()
+    for r in base:
+        if "run" not in r:
+            k = (r["k"], r["method"], r["camera"])
+            r["run"] = seen[k]
+            seen[k] += 1
+
     def key(r):
         return (r["k"], r["method"], r["camera"], r.get("run", 0))
 
