@@ -441,10 +441,14 @@ def _flag_transport_noise(summary) -> None:
             (s["method"], s["camera"], s["num_particles"]), []
         ).append(s)
     for rows in groups.values():
-        med = float(np.median([r["mean_ms_per_step"] for r in rows]))
+        ms = [r["mean_ms_per_step"] for r in rows]
+        # with exactly 2 duplicates the median CONTAINS the outlier
+        # (median(306, 28.5)=167 -> 306 passes 3x); the min is the
+        # robust reference there.  3+ duplicates: median as usual.
+        ref = float(np.min(ms)) if len(ms) == 2 else float(np.median(ms))
         for r in rows:
             r["suspect_transport_noise"] = bool(
-                len(rows) >= 2 and med > 0 and r["mean_ms_per_step"] > 3.0 * med
+                len(rows) >= 2 and ref > 0 and r["mean_ms_per_step"] > 3.0 * ref
             )
 
 

@@ -82,3 +82,18 @@ class TestProtocolArtifacts:
         # the reference sweeps to the 2,097,120 hard cap
         # (BenchmarkManager.cs:280-283, ParticleSys.cs:236)
         assert max(r["particles"] for r in rows) == 2097120
+
+    def test_aggregates_quarantine_known_stalls(self):
+        # the 306 ms/step k=6 hybrid camera-3 episode (TPU-tunnel
+        # stall, VERDICT r2 weak #7) must be mechanically excluded
+        # from the aggregate moments, not just noted in prose
+        agg = _load("protocol/aggregate_BunnyScene.json")
+        row = [a for a in agg
+               if a["k"] == 6 and a["method"] == "hybrid"
+               and a["camera"].endswith("(3)")]
+        assert row and row[0]["runs_quarantined"] >= 1, row
+        assert row[0]["mean_ms_mean"] < 100, row
+        # every aggregate's clean mean must be <= its raw max
+        for name in ("BunnyScene", "DragonScene"):
+            for a in _load(f"protocol/aggregate_{name}.json"):
+                assert a["mean_ms_min"] <= a["mean_ms_mean"] <= a["mean_ms_max"]

@@ -186,3 +186,33 @@ def test_plan_chooser_rotates_probes_over_all_losers():
     assert probes.count("B") >= 2 and probes.count("C") >= 2
     # alternation: consecutive probes hit different losers
     assert all(a != b for a, b in zip(probes, probes[1:]))
+
+
+def test_transport_noise_flag_two_run_groups():
+    """With exactly 2 duplicate episodes the median CONTAINS the outlier
+    (median(306, 28.5) = 167 -> 306 slips a 3x-median rule); the min is
+    the robust reference there.  The real round-2 artifact row that
+    motivated this: a 306 ms/step k=6 hybrid episode from a TPU-tunnel
+    stall vs 28.5 on its duplicate."""
+    from particlesystemhybridcollisiondetection_tpu.bench.harness import (
+        _flag_transport_noise,
+    )
+
+    def row(ms):
+        return {"method": "hybrid", "camera": "c3", "num_particles": 1,
+                "mean_ms_per_step": ms}
+
+    pair = [row(306.0), row(28.5)]
+    _flag_transport_noise(pair)
+    assert [r["suspect_transport_noise"] for r in pair] == [True, False]
+
+    # honest 2-run variance (adaptive executor jitter) must NOT flag
+    ok = [row(30.0), row(36.0)]
+    _flag_transport_noise(ok)
+    assert not any(r["suspect_transport_noise"] for r in ok)
+
+    # 3+ duplicates keep the median rule
+    trio = [row(28.0), row(30.0), row(306.0)]
+    _flag_transport_noise(trio)
+    assert [r["suspect_transport_noise"] for r in trio] == [
+        False, False, True]
