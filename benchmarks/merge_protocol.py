@@ -25,14 +25,17 @@ def merge(base_path: str, new_path: str) -> int:
         fresh = json.load(f)
 
     # rows from before the run field existed: enumerate duplicates in
-    # file order so they do not collapse to a single (..., run=0) key
+    # file order so they do not collapse to a single (..., run=0) key.
+    # Applied to BOTH files -- a fresh old-format sweep would otherwise
+    # silently drop its own duplicates (ADVICE r3)
     import collections
-    seen = collections.Counter()
-    for r in base:
-        if "run" not in r:
-            k = (r["k"], r["method"], r["camera"])
-            r["run"] = seen[k]
-            seen[k] += 1
+    for rows in (base, fresh):
+        seen = collections.Counter()
+        for r in rows:
+            if "run" not in r:
+                k = (r["k"], r["method"], r["camera"])
+                r["run"] = seen[k]
+                seen[k] += 1
 
     def key(r):
         return (r["k"], r["method"], r["camera"], r.get("run", 0))

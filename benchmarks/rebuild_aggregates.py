@@ -39,9 +39,14 @@ def rebuild(name: str) -> None:
         clean = [r["mean_ms"] for r in g
                  if not r["suspect_transport_noise"]]
         ms = clean or ms_all
+        # row schema shared with bench/harness._write_aggregates (ADVICE
+        # r3): k/particles AND scene/num_particles so either writer's
+        # output can be committed and pass tests/test_artifacts.py
         agg.append({
+            "scene": name,
             "k": k, "method": method, "camera": camera,
             "particles": g[0]["particles"],
+            "num_particles": g[0]["particles"],
             "runs": len(g), "runs_quarantined": len(g) - len(clean),
             "mean_ms_mean": round(float(np.mean(ms)), 3),
             "mean_ms_std": (round(float(np.std(ms, ddof=1)), 3)

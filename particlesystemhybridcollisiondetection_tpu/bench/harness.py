@@ -457,7 +457,16 @@ def _write_aggregates(scene, summary, out_dir) -> None:
     mean/std/min/max of the per-episode mean step time (the reference
     repeats every sweep 6 times for exactly this variance information --
     BenchmarkManager.cs:112-114).  Suspected-transport-noise rows are
-    excluded from the moments but counted."""
+    excluded from the moments but counted.
+
+    Row schema is shared with benchmarks/rebuild_aggregates.py (ADVICE
+    r3: the two writers had diverged): both emit ``k``/``particles``
+    (the protocol-row identity the artifact tests key on) AND
+    ``scene``/``num_particles`` (the summary-row identity); a
+    harness-regenerated aggregate can be committed as-is."""
+    import math
+
+    base = scene.config.num_particles_xz ** 2
     groups: dict = {}
     for s in summary:
         groups.setdefault(
@@ -470,15 +479,20 @@ def _write_aggregates(scene, summary, out_dir) -> None:
         ms = clean or [r["mean_ms_per_step"] for r in rows]
         agg.append({
             "scene": scene.name,
+            # n = base * 2^k except at the 2,097,120 reference cap
+            # (ParticleSys.cs:236), where rounding recovers k
+            "k": int(round(math.log2(max(n, 1) / base))),
             "method": method,
             "camera": camera,
+            "particles": n,
             "num_particles": n,
             "runs": len(rows),
             "runs_quarantined": len(rows) - len(clean),
-            "mean_ms_mean": float(np.mean(ms)),
-            "mean_ms_std": float(np.std(ms, ddof=1)) if len(ms) > 1 else 0.0,
-            "mean_ms_min": float(np.min(ms)),
-            "mean_ms_max": float(np.max(ms)),
+            "mean_ms_mean": round(float(np.mean(ms)), 3),
+            "mean_ms_std": (round(float(np.std(ms, ddof=1)), 3)
+                            if len(ms) > 1 else 0.0),
+            "mean_ms_min": round(float(np.min(ms)), 3),
+            "mean_ms_max": round(float(np.max(ms)), 3),
             "cameras_deduped": bool(rows[0].get("cameras_deduped")),
         })
     with open(os.path.join(out_dir, f"aggregate_{scene.name}.json"), "w") as f:

@@ -24,7 +24,7 @@ import numpy as np
 
 def _add_scene_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--scene", default="bunny",
-                   choices=["sample", "bunny", "dragon", "dragons"])
+                   choices=["sample", "bunny", "dragon", "dragons", "sphere"])
     p.add_argument("--layers", type=int, default=1,
                    help="Y layers: particles = num_xz^2 * layers "
                         "(the scrollbar's 2^k, BenchmarkManager.cs:280-283)")

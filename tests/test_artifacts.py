@@ -75,7 +75,9 @@ class TestProtocolArtifacts:
         assert {0, 1, 2, 3, 4, 5} <= ks
         for r in rows:
             assert r["mean_ms"] > 0
-            assert r["particles"] == 16384 * (1 << r["k"])
+            # the reference caps the count at 2,097,120 (ParticleSys.cs:236),
+            # so k=7 is 2_097_120 rather than 16384*128
+            assert r["particles"] == min(16384 * (1 << r["k"]), 2_097_120)
 
     def test_bunny_covers_reference_cap(self):
         rows = _load("protocol/protocol_BunnyScene.json")
