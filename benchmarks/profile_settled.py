@@ -56,6 +56,12 @@ def main():
     ap.add_argument(
         "--cache", default=os.path.expanduser("~/.cache/psys_states")
     )
+    # grid-parameter overrides (benchmarks/study_grid_params.py picks
+    # candidates host-side; these measure them on device)
+    ap.add_argument("--cell-size", type=float, default=None)
+    ap.add_argument("--expand", type=float, default=None)
+    ap.add_argument("--window", type=int, default=None,
+                    help="main-kernel window rows (default: auto)")
     args = ap.parse_args()
 
     from particlesystemhybridcollisiondetection_tpu.utils.compile_cache import (
@@ -89,14 +95,27 @@ def main():
 
     scene = SCENES[args.scene](width=480, height=270)
     cfg = scene.config
+    if args.cell_size is not None or args.expand is not None:
+        import dataclasses
+
+        g = cfg.grid
+        g = dataclasses.replace(
+            g,
+            cell_size=args.cell_size or g.cell_size,
+            expand=args.expand or g.expand,
+        )
+        cfg = dataclasses.replace(cfg, grid=g)
     st = settle(scene, args.layers, args.settle_steps, args.cache)
     n = st.pos.shape[-1]
     nb = n // BLOCK
     print(f"n = {n}")
 
     grid, meta = build_triangle_grid(scene.triangles, cfg.grid)
-    window = _auto_window(None, meta)
-    rescue_window = max(window, _auto_window(None, meta))
+    window = _auto_window(args.window, meta)
+    # same floor as production (make_spatial_step_sorted): the rescue
+    # re-windows COMPACTED particles, so 2048 fits 82-91% even of
+    # scattered drift overflow
+    rescue_window = max(window, _auto_window(None, meta), 2048)
     demote = _auto_demote("auto", meta)
     print(f"window = {window}, k_max = {meta.max_tris_per_cell}, "
           f"demote = {demote}")

@@ -893,13 +893,12 @@ def _chunked_rescue(
         # ---- phase 1: Morton-compacted kernel rescue ----
         m1 = max(BLOCK, (min(kernel_chunk, n) // BLOCK) * BLOCK)
         nb1 = m1 // BLOCK
-        ord1 = jnp.argsort(jnp.where(overflow, key_s, big), stable=True)
 
         def p1_cond(carry):
             return carry[0] * m1 < n_over
 
         def p1_body(carry):
-            c, pos_k, vel_k, hit_k, still = carry
+            c, ord1, pos_k, vel_k, hit_k, still = carry
             pick = jax.lax.dynamic_slice(ord1, (c * m1,), (m1,))
             redo = overflow[pick]
             pos_c = pos_s[:, pick]
@@ -944,10 +943,24 @@ def _chunked_rescue(
                 jnp.where(decided, hit_o, hit_k[pick])
             )
             still = still.at[pick].set(redo & ~decided)
-            return c + 1, pos_k, vel_k, hit_k, still
+            return c + 1, ord1, pos_k, vel_k, hit_k, still
 
-        _, pos_k, vel_k, hit_k, still = jax.lax.while_loop(
-            p1_cond, p1_body, (jnp.int32(0), pos_k, vel_k, hit_k, still)
+        def phase1(args):
+            pos_k, vel_k, hit_k, still = args
+            # compaction order computed INSIDE the cond: the 1M argsort
+            # (~2 ms) used to run unconditionally, taxing zero-overflow
+            # steps (the whole free-fall phase) for a rescue that never
+            # fires
+            ord1 = jnp.argsort(jnp.where(overflow, key_s, big), stable=True)
+            _, _, pos_k, vel_k, hit_k, still = jax.lax.while_loop(
+                p1_cond, p1_body,
+                (jnp.int32(0), ord1, pos_k, vel_k, hit_k, still),
+            )
+            return pos_k, vel_k, hit_k, still
+
+        pos_k, vel_k, hit_k, still = jax.lax.cond(
+            n_over > 0, phase1, lambda args: args,
+            (pos_k, vel_k, hit_k, still),
         )
 
     # ---- phase 2: packed XLA on whatever is left ----

@@ -213,18 +213,36 @@ def _cells_kernel(
     lo_wins, hi_wins, sem = rest[:SUB], rest[SUB : 2 * SUB], rest[2 * SUB]
     b = pl.program_id(0)
     copies = [
-        pltpu.make_async_copy(
-            table_hbm.at[:, pl.ds(pl.multiple_of(ref[b * SUB + j], 128), wc)],
-            win,
-            sem.at[8 * half + j],
+        (
+            pltpu.make_async_copy(
+                table_hbm.at[
+                    :, pl.ds(pl.multiple_of(ref[b * SUB + j], 128), wc)
+                ],
+                win,
+                sem.at[8 * half + j],
+            ),
+            # the max-ending window is redundant when the row is UNIMODAL
+            # (hi <= lo <=> row max inside the lo window, see ok_hi
+            # masking below): skip its DMA entirely.  At 1M settled most
+            # rows are unimodal, and this kernel is DMA-LATENCY bound
+            # (16 x 2 KB copies/block), so halving the copies nearly
+            # halves the stage (measured 2026-08-19, profile_settled).
+            None
+            if half == 0
+            else hi_start_ref[b * SUB + j] > lo_start_ref[b * SUB + j],
         )
         for half, (ref, wins) in enumerate(
             ((lo_start_ref, lo_wins), (hi_start_ref, hi_wins))
         )
         for j, win in enumerate(wins)
     ]
-    for cp in copies:
-        cp.start()
+    for cp, pred in copies:
+        if pred is None:
+            cp.start()
+        else:
+            @pl.when(pred)
+            def _():
+                cp.start()
     key = key_ref[:]
 
     def _starts(ref):
@@ -237,12 +255,20 @@ def _cells_kernel(
 
     lo = _starts(lo_start_ref)
     hi = _starts(hi_start_ref)
-    for cp in copies:
-        cp.wait()
+    for cp, pred in copies:
+        if pred is None:
+            cp.wait()
+        else:
+            @pl.when(pred)
+            def _():
+                cp.wait()
     rel_lo = key - lo
     rel_hi = key - hi
     ok_lo = (rel_lo >= 0) & (rel_lo < wc)
-    ok_hi = (rel_hi >= 0) & (rel_hi < wc)
+    # hi <= lo rows skipped their hi DMA (stale scratch): mask ok_hi so
+    # the stale window is never selected.  ok_lo covers every lane there
+    # (hi <= lo  <=>  row max <= lo + wc - 1), so results are bit-equal.
+    ok_hi = (rel_hi >= 0) & (rel_hi < wc) & (hi > lo)
     tab_lo = jnp.concatenate([w[:] for w in lo_wins], axis=0)  # [8, wc]
     tab_hi = jnp.concatenate([w[:] for w in hi_wins], axis=0)
     g_lo = _lane_gather(tab_lo, jnp.clip(rel_lo, 0, wc - 1))
@@ -326,6 +352,7 @@ def _kernel(
     win_start_ref,  # i32[NB*8]: [b, j] at b*8 + j, per-SUBLANE
     #                 lane-aligned window starts
     k_cap_ref,  # i32[NB]
+    sub_cap_ref,  # i32[NB*8]: per-sublane max candidate count
     # inputs
     pos_ref,  # f32[3, 8, 128] block (sorted)
     vel_ref,
@@ -356,17 +383,33 @@ def _kernel(
     # [16, w] window DMA (round 1 had one window per 1024-particle block,
     # which overflows on dense scenes -- settled particles on the 398k-tri
     # dragon span thousands of CSR rows per block).  All 8 DMAs are issued
-    # up front (latency hiding, as in the p2p kernel).
+    # up front (latency hiding, as in the p2p kernel).  Sublanes with ZERO
+    # candidates (sub_cap == 0: air / mid-pile rows whose cells hold no
+    # triangles) skip their DMA -- at 1M settled the median BLOCK has
+    # k_cap 0 and this stage is DMA-latency bound, so skipping empties is
+    # most of the stage (measured 2026-08-19, profile_settled).  Skipped
+    # sublanes' stage rows are ZERO-FILLED below before the permutation
+    # matmul: stale VMEM can hold NaN/Inf, and the matmul's 0-weight rows
+    # would still poison every window via 0 * NaN = NaN (observed in
+    # interpret mode; real VMEM gives no stronger guarantee).  The zeroed
+    # windows' gathers are then discarded by ``valid`` (count == 0).
     copies = [
-        pltpu.make_async_copy(
-            pairs_hbm.at[:, pl.ds(pl.multiple_of(win_start_ref[b * SUB + j], 128), w)],
-            stage_ref.at[pl.ds(16 * j, 16), :],
-            sem.at[j],
+        (
+            pltpu.make_async_copy(
+                pairs_hbm.at[
+                    :, pl.ds(pl.multiple_of(win_start_ref[b * SUB + j], 128), w)
+                ],
+                stage_ref.at[pl.ds(16 * j, 16), :],
+                sem.at[j],
+            ),
+            sub_cap_ref[b * SUB + j] > 0,
         )
         for j in range(SUB)
     ]
-    for cp in copies:
-        cp.start()
+    for cp, pred in copies:
+        @pl.when(pred)
+        def _():
+            cp.start()
 
     pos = pos_ref[:]
     vel = vel_ref[:]
@@ -380,22 +423,37 @@ def _kernel(
     dirn = vel * inv_speed[None]
     seg2 = speed2 * (dt * dt)
 
-    for cp in copies:
-        cp.wait()
+    for j, (cp, pred) in enumerate(copies):
+        @pl.when(pred)
+        def _():
+            cp.wait()
+
+        # zero the skipped sublane's stage rows so the assembly matmul
+        # cannot hit stale NaN/Inf (0 * NaN = NaN); skipped entirely for
+        # all-empty blocks, whose matmul never runs
+        @pl.when(jnp.logical_not(pred) & (k_cap > 0))
+        def _():
+            stage_ref[pl.ds(16 * j, 16), :] = jnp.zeros(
+                (16, w), dtype=jnp.float32
+            )
 
     # Assemble gather tables win[8c+j, :] = stage[16j+c, :] with ONE MXU
     # permutation matmul (Mosaic cannot shuffle sublanes in the VPU; the
     # MXU does it for free -- same trick as the p2p kernel's `rep`).
-    perm = (
-        jax.lax.broadcasted_iota(jnp.int32, (72, 128), 1)
-        == 16 * (jax.lax.broadcasted_iota(jnp.int32, (72, 128), 0) % 8)
-        + jax.lax.broadcasted_iota(jnp.int32, (72, 128), 0) // 8
-    ).astype(jnp.float32)
-    win_ref[:] = jax.lax.dot_general(
-        perm, stage_ref[:],
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    # All-empty blocks (k_cap == 0) skip it: the candidate loop below
+    # never runs there, so win_ref is never read.
+    @pl.when(k_cap > 0)
+    def _assemble():
+        perm = (
+            jax.lax.broadcasted_iota(jnp.int32, (72, 128), 1)
+            == 16 * (jax.lax.broadcasted_iota(jnp.int32, (72, 128), 0) % 8)
+            + jax.lax.broadcasted_iota(jnp.int32, (72, 128), 0) // 8
+        ).astype(jnp.float32)
+        win_ref[:] = jax.lax.dot_general(
+            perm, stage_ref[:],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     def dot3(a, b):
         return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
@@ -591,8 +649,12 @@ def window_collide_sorted(
     def shape3(x):
         return x.reshape(3, nb * SUB, LANE)
 
+    # per-sublane max count: lets the kernel skip the pairs DMA of
+    # all-empty sublane rows (most rows at settled 1M; see _kernel)
+    sub_cap = jnp.max(shape2(count), axis=1)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((3, SUB, LANE), lambda b, *_: (0, b, 0), memory_space=pltpu.VMEM),
@@ -631,6 +693,7 @@ def window_collide_sorted(
         # flat 1-D scalar prefetch (see _kernel's SMEM padding note)
         win_start.reshape(-1),
         k_cap,
+        sub_cap,
         shape3(pos_s),
         shape3(vel_s),
         shape2(radius_s),
