@@ -84,6 +84,7 @@ def main():
     from particlesystemhybridcollisiondetection_tpu.ops.grid import (
         build_triangle_grid,
         cell_index,
+        lookup_pos,
         morton_key,
         pack_grid,
     )
@@ -128,7 +129,7 @@ def main():
     # ---- sorted inputs (computed once; settled states stay near-sorted) ----
     @jax.jit
     def sort_stage(pos, vel, radius, restit):
-        key = morton_key(pos, meta)
+        key = morton_key(lookup_pos(pos, vel, cfg.dt), meta)
         ids = jnp.arange(n, dtype=jnp.int32)
         key_s, perm = jax.lax.sort((key, ids), num_keys=1)
         rows = jnp.concatenate(
@@ -143,12 +144,12 @@ def main():
     radius_s, restit_s = rows_s[6], rows_s[7]
 
     @jax.jit
-    def plan_gather(pos_s):
-        cid_s = cell_index(pos_s, meta)
+    def plan_gather(pos_s, vel_s):
+        cid_s = cell_index(lookup_pos(pos_s, vel_s, cfg.dt), meta)
         return _window_plan(cid_s, tables.cells2, window, nb, demote=demote)
 
-    rel, count, ws, k_cap, overflow, ovf_count = plan_gather(pos_s)
-    print(f"plan (gather):     {timeit(plan_gather, pos_s):6.2f} ms   "
+    rel, count, ws, k_cap, overflow, ovf_count = plan_gather(pos_s, vel_s)
+    print(f"plan (gather):     {timeit(plan_gather, pos_s, vel_s):6.2f} ms   "
           f"overflow={int(overflow.sum())}")
 
     if ctab is not None:
@@ -199,11 +200,13 @@ def main():
 
     cells2 = np.asarray(tables.cells2)
     pos_np = np.asarray(pos_s)
+    vel_np = np.asarray(vel_s)
     fits = 0
     for c0 in range(0, n_over, 8192):
         pick = order[c0:c0 + 8192]
         pick = np.pad(pick, (0, 8192 - len(pick)))
-        cid_c = np.asarray(cell_index(jnp.asarray(pos_np[:, pick]), meta))
+        cid_c = np.asarray(cell_index(jnp.asarray(
+            pos_np[:, pick] + vel_np[:, pick] * (cfg.dt * 0.5)), meta))
         start_c = cells2[0, cid_c]
         count_c = np.where(ovf[pick], cells2[1, cid_c], 0)
         _, _, _, _, over2, _ = jax.jit(

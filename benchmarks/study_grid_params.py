@@ -9,10 +9,13 @@ windows.  Per-cell count scales ~ (h + 2e)^3 while total pairs scale
 ~ ((t + 2e)/h + 1)^3 per triangle, so SHRINKING BOTH knobs trades pair
 count against cell density.  Constraints:
 
-  * expand >= particle_radius + max travel/step.  Benchmark scenes:
-    r = 2, free fall from y=525 -> v_max = sqrt(2 * 9.81 * 525) = 101.5,
-    dt = 0.01 -> travel 1.015; restitution 0.25 only slows particles.
-    So expand >= 3.015; we require >= 3.3 for margin.
+  * expand >= particle_radius + max_travel/2 under the midpoint lookup
+    (ops.grid.lookup_pos; round 3 used a p-anchored lookup needing the
+    full r + max_travel).  The sound travel bound is NOT the y=525 free
+    fall: upper spawn layers start as high as y=2557 at k=7.  Particles
+    spawn at rest and restitution 0.25 only slows them, so within a
+    2001-step episode speed <= g*T = 9.81*20.01 = 196.3 -> travel <=
+    1.963 -> expand >= 2 + 0.982 = 2.982; presets use 3.1 for margin.
   * pairs < 2^24 (24-bit packed start, window_kernel.build_code_table)
   * max cell count < 255 (8-bit packed count)
   * max(dims) <= 1024 (10-bit Morton range)
@@ -36,7 +39,7 @@ def main() -> None:
     ap.add_argument("--cells", nargs="*", type=float,
                     default=[8.0, 6.0, 5.0, 4.0])
     ap.add_argument("--expands", nargs="*", type=float,
-                    default=[4.0, 3.3])
+                    default=[3.1])
     args = ap.parse_args()
 
     from particlesystemhybridcollisiondetection_tpu.geometry.scenes import (

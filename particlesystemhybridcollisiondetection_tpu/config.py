@@ -57,9 +57,12 @@ class GridConfig:
     """
 
     cell_size: float = 8.0
-    # Binning expansion radius: must be >= particle_radius + max travel per
-    # step, so the single-cell lookup is conservative.
-    expand: float = 4.0
+    # Binning expansion radius: must be >= particle_radius + max_travel/2,
+    # because queries look up the cell of the travel-segment MIDPOINT
+    # (ops.grid.lookup_pos).  Benchmark scenes: particles spawn at rest,
+    # so within a 2001-step episode speed <= g*T = 9.81*20.01 = 196.3 ->
+    # travel <= 1.963 -> expand >= 2 + 0.982 = 2.982 (3.1 with margin).
+    expand: float = 3.1
     # Max triangle candidates per cell (K of the dense [N, K] narrow phase).
     # Measured at build time; this is only a default ceiling.
     max_tris_per_cell: int = 64
@@ -100,8 +103,11 @@ class SimConfig:
 
 #: DragonScene.unity:1818-1823 — the shipped benchmark scene.  The dragon
 #: collider is much denser than the bunny, so its broad-phase grid uses
-#: finer cells and the tight expansion radius (r=2 + ~1.01 max travel).
-DRAGON_PRESET = SimConfig(grid=GridConfig(cell_size=4.0, expand=3.2))
+#: finer cells.  expand=3.1 is the midpoint-lookup episode bound (see
+#: GridConfig); round 3's p-anchored expand=3.2 only covered travel
+#: <= 1.2/step and silently under-covered fast top-layer particles at
+#: k >= 4 (speeds reach g*T = 196 u/s within the 2001-step episode).
+DRAGON_PRESET = SimConfig(grid=GridConfig(cell_size=4.0, expand=3.1))
 
 #: BunnyScene parity (same benchmark constants, bunny collider).
 BUNNY_PRESET = SimConfig()
@@ -125,7 +131,7 @@ SAMPLE_PRESET = SimConfig(
 #: (SphereScene.unity ParticleObject transform).
 SPHERE_PRESET = SimConfig(
     spawn_origin=(0.0, 0.0, 0.0),
-    grid=GridConfig(cell_size=2.0, expand=3.2),
+    grid=GridConfig(cell_size=2.0, expand=3.1),
 )
 
 PRESETS = {

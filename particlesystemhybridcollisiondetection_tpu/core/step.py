@@ -128,14 +128,17 @@ def spatial_collide_stream(
 ) -> ParticleState:
     """Grid spatial collision via the streaming narrow phase (no [N, K]
     candidate tensors; see narrow_phase.swept_collide_stream)."""
-    from particlesystemhybridcollisiondetection_tpu.ops.grid import cell_index
+    from particlesystemhybridcollisiondetection_tpu.ops.grid import (
+        cell_index,
+        lookup_pos,
+    )
 
     pos, velo = state.pos, state.vel
     speed2 = vec.norm2(velo)
     dirn = vec.normalize(velo)
     seg_len2 = speed2 * (dt * dt)
 
-    cid = cell_index(pos, meta)
+    cid = cell_index(lookup_pos(pos, velo, dt), meta)
     start = grid.offsets[cid]
     count = grid.offsets[cid + 1] - start
     p_max = grid.tri_ids.shape[0] - 1
@@ -177,7 +180,10 @@ def spatial_collide_packed(
     """Grid spatial collision via the packed planar layout: one [2, N]
     cell gather + num_groups [group*9, N] axis-1 gathers per step (see
     ops.grid.PackedGrid for the layout rationale)."""
-    from particlesystemhybridcollisiondetection_tpu.ops.grid import cell_index
+    from particlesystemhybridcollisiondetection_tpu.ops.grid import (
+        cell_index,
+        lookup_pos,
+    )
 
     pos, velo = state.pos, state.vel
     n = pos.shape[-1]
@@ -185,7 +191,7 @@ def spatial_collide_packed(
     dirn = vec.normalize(velo)
     seg_len2 = speed2 * (dt * dt)
 
-    cid = cell_index(pos, meta)
+    cid = cell_index(lookup_pos(pos, velo, dt), meta)
     info = packed.cells[:, cid]  # [2, N] planar gather
     row0 = info[0]
     count = info[1]
@@ -288,6 +294,7 @@ def make_spatial_step_grid(
     from particlesystemhybridcollisiondetection_tpu.ops.grid import (
         build_triangle_grid,
         gather_candidates,
+        lookup_pos,
         pack_grid,
     )
 
@@ -298,7 +305,9 @@ def make_spatial_step_grid(
 
         @jax.jit
         def step(state: ParticleState) -> ParticleState:
-            v0, v1, v2, mask = gather_candidates(grid, meta, state.pos)
+            v0, v1, v2, mask = gather_candidates(
+                grid, meta, lookup_pos(state.pos, state.vel, cfg.dt)
+            )
             state = spatial_collide(
                 state, v0, v1, v2, gravity, cfg.dt, cfg.backoff, cand_mask=mask
             )
@@ -768,13 +777,16 @@ def _window_plan_coded(
 def _maybe_code_table(grid, meta, cells_lookup: str):
     """Build the code-indexed cells table when the in-kernel lookup is
     requested ("kernel") or auto-enabled: TPU backend + pair count under
-    the 24-bit packed-start limit + every cell under the 8-bit packed
-    count.  The count bound is also the empirical scene split: scenes
-    with 255+ tris in a cell (the 398k-tri dragon: 727 such cells, max
-    492) are convoluted enough that drifted rows go MULTI-modal in code
-    space and lazy-step lookup misses explode (measured 56k/131k misses,
-    78 vs 32 ms/step settled), while low-density scenes (bunny: max 75)
-    stay uni/bimodal and the kernel wins ~6 ms at 1M."""
+    the 24-bit packed-start limit + dims within the 10-bit Morton range.
+
+    Dense cells (count >= 255) no longer gate the table: build_code_table
+    saturates their count to the 255 miss sentinel, and since the
+    two-phase Morton-compacted rescue landed (round 3) those lanes are
+    exactly the ones ``demote`` routes to the rescue pass anyway.  Round
+    3's measured negative (dragon 78 vs 32 ms/step settled with the
+    coded plan) predates the two-phase rescue AND the dual min/max code
+    windows; re-measured 2026-08-19 with both landed (see BASELINE.md
+    round-4 notes) the coded plan wins on the dragon as well."""
     import numpy as _np
 
     from particlesystemhybridcollisiondetection_tpu.ops.pallas.window_kernel import (
@@ -796,7 +808,6 @@ def _maybe_code_table(grid, meta, cells_lookup: str):
     )
     fits = (
         pairs < (1 << 24)
-        and meta.max_tris_per_cell < 255
         # 10-bit Morton range: dims > 1024 would ALIAS distinct cells
         # onto one code (silent wrong lookups -- build_code_table asserts)
         and max(meta.dims) <= 1024
@@ -876,6 +887,7 @@ def _chunked_rescue(
     """
     from particlesystemhybridcollisiondetection_tpu.ops.grid import (
         cell_index,
+        lookup_pos,
     )
     from particlesystemhybridcollisiondetection_tpu.ops.pallas.window_kernel import (
         BLOCK,
@@ -905,8 +917,10 @@ def _chunked_rescue(
             vel_c = vel_s[:, pick]
             rad_c = radius_s[pick]
             res_c = restit_s[pick]
-            # fresh (start, count): m1-index planar gather
-            info = tables.cells2[:, cell_index(pos_c, meta)]
+            # fresh (start, count): m1-index planar gather (midpoint
+            # lookup, same anchor as the main plan)
+            info = tables.cells2[:, cell_index(
+                lookup_pos(pos_c, vel_c, cfg.dt), meta)]
             count_c = jnp.where(redo, info[1], 0)  # padding lanes inert
             rel, cnt, ws, k_cap, unfit, _ = _plan_tail(
                 info[0], count_c, rescue_window, nb1
@@ -1050,6 +1064,7 @@ def make_hybrid_step_sorted(
     from particlesystemhybridcollisiondetection_tpu.ops.grid import (
         build_triangle_grid,
         cell_index,
+        lookup_pos,
         morton_key,
         pack_grid,
     )
@@ -1088,10 +1103,11 @@ def make_hybrid_step_sorted(
         assert n % BLOCK == 0, n
         nb = n // BLOCK
 
-        # sort by MORTON key (3D-local cells stay row-adjacent in the
-        # morton-ordered pair table; see ops.grid.morton_key); cells2 is
-        # still indexed by the linear cell id
-        key = morton_key(pos, meta)
+        # sort by MORTON key of the travel-segment MIDPOINT (3D-local
+        # cells stay row-adjacent in the morton-ordered pair table; see
+        # ops.grid.morton_key / lookup_pos); cells2 is still indexed by
+        # the linear cell id
+        key = morton_key(lookup_pos(pos, vel, cfg.dt), meta)
         ids = jnp.arange(n, dtype=jnp.int32)
         key_s, perm = jax.lax.sort((key, ids), num_keys=1)
         rows = jnp.concatenate(
@@ -1114,7 +1130,7 @@ def make_hybrid_step_sorted(
         else:
             # linear cell id recomputed from the PERMUTED positions:
             # cheaper than carrying it as a third sort payload
-            cid_s = cell_index(pos_s, meta)
+            cid_s = cell_index(lookup_pos(pos_s, vel_s, cfg.dt), meta)
             rel, count, ws, k_cap, overflow, ovf_count = _window_plan(
                 cid_s, tables.cells2, window, nb, active_s=active_s,
                 demote=dense_demote,
@@ -1282,6 +1298,7 @@ def make_spatial_step_sorted(
     from particlesystemhybridcollisiondetection_tpu.ops.grid import (
         build_triangle_grid,
         cell_index,
+        lookup_pos,
         morton_key,
         pack_grid,
     )
@@ -1318,10 +1335,11 @@ def make_spatial_step_sorted(
         )
         nb = n // BLOCK
 
-        # sort by MORTON key (3D-local cells stay row-adjacent in the
-        # morton-ordered pair table; see ops.grid.morton_key); cells2 is
-        # still indexed by the linear cell id
-        key = morton_key(pos, meta)
+        # sort by MORTON key of the travel-segment MIDPOINT (3D-local
+        # cells stay row-adjacent in the morton-ordered pair table; see
+        # ops.grid.morton_key / lookup_pos); cells2 is still indexed by
+        # the linear cell id
+        key = morton_key(lookup_pos(pos, vel, cfg.dt), meta)
         ids = jnp.arange(n, dtype=jnp.int32)
         key_s, perm = jax.lax.sort((key, ids), num_keys=1)
 
@@ -1344,7 +1362,7 @@ def make_spatial_step_sorted(
         else:
             # linear cell id recomputed from the PERMUTED positions:
             # cheaper than carrying it as a third sort payload
-            cid_s = cell_index(pos_s, meta)
+            cid_s = cell_index(lookup_pos(pos_s, vel_s, cfg.dt), meta)
             rel, count, ws, k_cap, overflow, ovf_count = _window_plan(
                 cid_s, tables.cells2, window, nb, demote=dense_demote
             )
@@ -1523,6 +1541,7 @@ def make_sorted_episode_runner(
     from particlesystemhybridcollisiondetection_tpu.ops.grid import (
         build_triangle_grid,
         cell_index,
+        lookup_pos,
         morton_key,
         pack_grid,
     )
@@ -1589,10 +1608,11 @@ def make_sorted_episode_runner(
         if tex is not None:
             rows8, aux, undec = _ss_stage(rows8, aux, tex)
         pos = rows8[0:3]
-        # sort by MORTON key (3D-local cells stay row-adjacent in the
-        # morton-ordered pair table; see ops.grid.morton_key); cells2 is
-        # still indexed by the linear cell id
-        key = morton_key(pos, meta)
+        # sort by MORTON key of the travel-segment MIDPOINT (3D-local
+        # cells stay row-adjacent in the morton-ordered pair table; see
+        # ops.grid.morton_key / lookup_pos); cells2 is still indexed by
+        # the linear cell id
+        key = morton_key(lookup_pos(pos, rows8[3:6], cfg.dt), meta)
         ids = jnp.arange(n, dtype=jnp.int32)
         key_s, perm = jax.lax.sort((key, ids), num_keys=1)
         rows_s = rows8[:, perm]
@@ -1619,7 +1639,7 @@ def make_sorted_episode_runner(
         else:
             # linear cell id recomputed from the PERMUTED positions:
             # cheaper than carrying it as a third sort payload
-            cid_s = cell_index(pos_s, meta)
+            cid_s = cell_index(lookup_pos(pos_s, vel_s, cfg.dt), meta)
             rel, count, ws, k_cap, overflow, ovf_count = _window_plan(
                 cid_s, tables.cells2, window, nb, active_s=active_s,
                 demote=dense_demote,
@@ -1666,14 +1686,14 @@ def make_sorted_episode_runner(
         # phase-1 compaction key); drifted particles that left their
         # sublane's code window fold into the overflow -> exact fallback,
         # like the pair windows
-        key_s = morton_key(pos_s, meta)
+        key_s = morton_key(lookup_pos(pos_s, vel_s, cfg.dt), meta)
         if ctab is not None:
             rel, count, ws, k_cap, overflow, ovf_count = _window_plan_coded(
                 key_s, ctab, window, nb, interpret=interpret,
                 active_s=active_s, demote=dense_demote,
             )
         else:
-            cid = cell_index(pos_s, meta)
+            cid = cell_index(lookup_pos(pos_s, vel_s, cfg.dt), meta)
             rel, count, ws, k_cap, overflow, ovf_count = _window_plan(
                 cid, tables.cells2, window, nb, active_s=active_s,
                 demote=dense_demote,
@@ -1754,6 +1774,7 @@ def sorted_step_overflow_count(triangles, cfg: SimConfig, state, window: int = 5
     from particlesystemhybridcollisiondetection_tpu.ops.grid import (
         build_triangle_grid,
         cell_index,
+        lookup_pos,
         morton_key,
         pack_grid,
     )
@@ -1766,8 +1787,9 @@ def sorted_step_overflow_count(triangles, cfg: SimConfig, state, window: int = 5
     tables = build_window_tables(grid, meta, window)
     n = state.pos.shape[-1]
     nb = n // BLOCK
+    lpos = lookup_pos(state.pos, state.vel, cfg.dt)
     _, cid_s = jax.lax.sort(
-        (morton_key(state.pos, meta), cell_index(state.pos, meta)),
+        (morton_key(lpos, meta), cell_index(lpos, meta)),
         num_keys=1,
     )
     _, _, _, _, overflow, _ = _window_plan(cid_s, tables.cells2, window, nb)

@@ -16,6 +16,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 ART = os.path.join(os.path.dirname(__file__), "..", "benchmarks", "artifacts")
 
 

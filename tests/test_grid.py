@@ -3,6 +3,8 @@ the brute-force path (the grid must never change trajectories, only cost)."""
 
 import numpy as np
 import pytest
+
+# smoke = all but the slow long-run statistics test (marked per-test below)
 import jax.numpy as jnp
 
 from particlesystemhybridcollisiondetection_tpu.config import GridConfig
@@ -19,6 +21,7 @@ from particlesystemhybridcollisiondetection_tpu.ops.grid import (
 )
 
 
+@pytest.mark.smoke
 def test_build_invariants():
     scene = sample_scene()
     grid, meta = build_triangle_grid(scene.triangles, scene.config.grid)
@@ -31,6 +34,7 @@ def test_build_invariants():
     assert len(np.unique(np.asarray(grid.tri_ids))) == meta.num_triangles
 
 
+@pytest.mark.smoke
 def test_candidates_are_complete():
     """Every triangle within (expand) of a query point must be among the
     point's cell candidates."""
@@ -63,6 +67,7 @@ def test_candidates_are_complete():
         assert not missing, f"point {pts[i]} missing triangles {missing}"
 
 
+@pytest.mark.smoke
 def test_grid_step_equals_bruteforce_step():
     """For any reachable state, one grid step must equal one brute-force
     step (same hits, positions to float tolerance).
@@ -134,6 +139,7 @@ def test_grid_long_run_statistics_match_bruteforce():
     assert 0.5 < nc_gr / max(nc_bf, 1) < 2.0
 
 
+@pytest.mark.smoke
 def test_morton_key_locality_and_consistency():
     """morton_key must (a) agree with morton_cell_codes through cell_index,
     (b) be a bijection of the cell id, and (c) keep any 2x2x2 cell octant
@@ -180,6 +186,7 @@ def test_morton_key_locality_and_consistency():
         assert (np.diff(r) == 1).all(), (x, y, z, r)
 
 
+@pytest.mark.smoke
 def test_window_tables_morton_permutation_preserves_cell_contents():
     """build_window_tables permutes pair rows into Morton cell order; each
     cell's candidate rows must keep the linear layout's triangles in the

@@ -4,6 +4,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from particlesystemhybridcollisiondetection_tpu.core.state import ParticleState
 from particlesystemhybridcollisiondetection_tpu.core.step import spatial_collide
 from particlesystemhybridcollisiondetection_tpu.ops import narrow_phase as nph

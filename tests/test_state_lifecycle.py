@@ -2,6 +2,9 @@
 sentinel semantics."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.smoke
 import jax.numpy as jnp
 
 from particlesystemhybridcollisiondetection_tpu.config import (

@@ -35,6 +35,7 @@ def _fast_scene():
     return dataclasses.replace(scene, config=cfg)
 
 
+@pytest.mark.smoke
 def test_sorted_kernel_matches_packed_smoke():
     scene = _fast_scene()
     cfg = scene.config
@@ -205,6 +206,7 @@ def test_cells_lookup_kernel_matches_gather_plan():
     )
 
 
+@pytest.mark.smoke
 def test_code_table_dense_cell_marks_miss():
     """Cells with >=255 triangles exceed the CodeTable's 8-bit packed
     count and must come back as lookup misses (count == -1, routed to
