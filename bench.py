@@ -33,7 +33,8 @@ def main() -> None:
 
     # 128^2 * 64 layers = 1,048,576 particles on the bunny scene (30k-tri
     # collider + ground), spatial method (sorted block-window Pallas
-    # pipeline on TPU), 300 timed steps.
+    # pipeline on TPU), 150 timed steps (151 - 1 warmup) in 50-step
+    # chunks from spawn.
     scene = bunny_scene(width=480, height=270)
     t0 = time.time()
     # pinned coded-lookup plan: the adaptive executor's A/B probe chunk

@@ -125,7 +125,10 @@ def plan_replica(pos, vel, dt, meta, counts_by_cell, start_by_cell,
     ws = (ws // 128) * 128
     rel = start - np.repeat(ws, LANE)
     overflow = (count > 0) & ((rel < 0) | (rel + count > window))
-    overflow |= miss & (count > 0)
+    # _plan_tail(miss=miss) folds ALL miss lanes into overflow, including
+    # count==0 cells (ADVICE r4: `miss & (count > 0)` undercounted the
+    # rescue-chunk load)
+    overflow |= miss
     cnt = np.where(overflow, 0, count)
     k_cap = cnt.reshape(nb, SUB * LANE).max(axis=1)
     sub_cap = cnt.reshape(nb * SUB, LANE).max(axis=1)

@@ -17,7 +17,10 @@ count against cell density.  Constraints:
     2001-step episode speed <= g*T = 9.81*20.01 = 196.3 -> travel <=
     1.963 -> expand >= 2 + 0.982 = 2.982; presets use 3.1 for margin.
   * pairs < 2^24 (24-bit packed start, window_kernel.build_code_table)
-  * max cell count < 255 (8-bit packed count)
+  * max cell count < 255 is a soft PERF preference, not a gate: counts
+    saturate to the 255 miss sentinel and those lanes route to the
+    rescue pass every step (round 4 removed the hard gate from
+    _maybe_code_table) -- dense cells cost rescue time, not correctness
   * max(dims) <= 1024 (10-bit Morton range)
 
 Host-side only (native C++ binner); run anywhere:

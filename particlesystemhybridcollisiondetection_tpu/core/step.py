@@ -1198,6 +1198,7 @@ def make_method_step(
 
     method = Method(method)
     cfg = scene.config
+    check_speed_cover(cfg)  # fail loudly if the episode outruns the grid
     if method == Method.SPATIAL:
         v = spatial_variant
         if v == "auto":
@@ -1219,6 +1220,51 @@ def make_method_step(
             scene.triangles, cfg, camera, normals, cells_lookup=cells_lookup
         )
     return make_hybrid_step(triangles=scene.triangles, cfg=cfg, camera=camera, normals=normals)
+
+
+def check_speed_cover(cfg: SimConfig, num_steps: int | None = None,
+                      state: ParticleState | None = None) -> float:
+    """Binning-invariant guard (ADVICE r4): fail LOUDLY when an episode
+    can outrun the midpoint swept lookup instead of silently dropping
+    contacts.
+
+    The grid bins triangles ``expand`` around each cell; queries key on
+    the travel-segment midpoint (ops.grid.lookup_pos), so a particle is
+    covered only while ``radius + |v|*dt/2 <= expand``.  Benchmark
+    presets assume spawn at rest and restitution <= 1 (collisions never
+    add speed beyond the -g*dt precompensation), so the episode speed
+    bound is ``|v_entry| + g*dt*num_steps``.  This checks that bound
+    against the config's covered speed ``2*(expand - radius)/dt`` and
+    raises ValueError on violation -- longer episodes, larger dt, or
+    nonzero entry velocities now fail at build time rather than
+    tunneling through geometry.
+
+    ``state=None`` (the default, used at runner-build time) assumes
+    spawn at rest; pass the entry state (or set PSYS_SPEED_GUARD=1 on
+    the episode runners) to include its measured max speed -- that
+    variant costs one device readback, so it is not on the timed path
+    by default.  Returns the episode speed bound (u/s).
+    """
+    import os
+
+    g = float(jnp.linalg.norm(jnp.asarray(cfg.gravity)))
+    steps = cfg.lifetime_steps if num_steps is None else num_steps
+    v_entry = 0.0
+    if state is not None:
+        v_entry = float(jnp.sqrt(jnp.max(jnp.sum(state.vel * state.vel,
+                                                 axis=0))))
+    v_bound = v_entry + g * cfg.dt * steps
+    covered = 2.0 * (cfg.grid.expand - cfg.particle_radius) / cfg.dt
+    if v_bound > covered:
+        raise ValueError(
+            f"episode speed bound {v_bound:.1f} u/s exceeds the midpoint "
+            f"swept-lookup cover 2*(expand - radius)/dt = {covered:.1f} "
+            f"u/s (expand={cfg.grid.expand}, radius={cfg.particle_radius}, "
+            f"dt={cfg.dt}, steps={steps}, entry speed {v_entry:.1f}); "
+            "raise grid.expand or shorten the episode -- faster particles "
+            "would silently miss binned triangles (tunneling)"
+        )
+    return v_bound
 
 
 def _auto_demote(demote, meta) -> int | None:
@@ -1551,6 +1597,7 @@ def make_sorted_episode_runner(
         window_collide_sorted,
     )
 
+    check_speed_cover(cfg)  # fail loudly if the episode outruns the grid
     grid, meta = build_triangle_grid(triangles, cfg.grid)
     window = _auto_window(window, meta)
     # rescue window: large enough to cover the densest cell (the
@@ -1740,6 +1787,13 @@ def make_sorted_episode_runner(
         n = state.pos.shape[-1]
         shards = 1 if mesh is None else mesh.devices.size
         assert n % (BLOCK * shards) == 0, (n, shards)
+        import os as _os
+
+        if _os.environ.get("PSYS_SPEED_GUARD", "0") not in ("", "0"):
+            # debug-mode dynamic guard (ADVICE r4): include the entry
+            # state's measured max speed; one device readback, so it is
+            # opt-in rather than on the timed path
+            check_speed_cover(cfg, num_steps=num_steps, state=state)
         rows8 = jnp.concatenate(
             [
                 state.pos,

@@ -289,8 +289,12 @@ def lookup_pos(pos: jnp.ndarray, vel: jnp.ndarray, dt: float) -> jnp.ndarray:
     Every grid query (cell_index / morton_key / gather_candidates) must
     key on this, not on ``pos``: the binning radius ``expand`` only
     covers ``r + travel/2`` around the MIDPOINT of [p, p + v*dt] (module
-    docstring).  Settled particles (v == 0) are unaffected; sentinel
-    particles (pos 1e38, v == 0) still clamp to the border cell.
+    docstring).  Settled particles (v ~ 0) are unaffected.  Sentinel
+    particles still clamp to the border cell by MAGNITUDE, not by
+    velocity: padding lanes are integrated every step (core/state.py),
+    so their speed accumulates g*t (~196 u/s by episode end), but in
+    float32 ``1e38 + v*dt/2 == 1e38`` -- the midpoint equals the
+    sentinel position exactly and lands in the clamped border cell.
     """
     return pos + vel * (dt * 0.5)
 

@@ -9,6 +9,7 @@ energy dissipation).
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from particlesystemhybridcollisiondetection_tpu.config import SimConfig, GridConfig
 from particlesystemhybridcollisiondetection_tpu.core.state import (
@@ -120,3 +121,36 @@ def test_sample_scene_no_tunneling_and_settles():
     ke_mid = (vel_mid[:, mask] ** 2).sum()
     ke_f = (vel_f[:, mask] ** 2).sum()
     assert ke_f < ke_mid
+
+
+@pytest.mark.smoke
+def test_speed_cover_guard():
+    """ADVICE r4: the midpoint-lookup binning invariant fails LOUDLY.
+
+    check_speed_cover raises at runner-build time when the declared
+    episode can outrun 2*(expand - radius)/dt; every shipped preset must
+    pass its own declared episode."""
+    import pytest as _pytest
+
+    from particlesystemhybridcollisiondetection_tpu.config import PRESETS
+    from particlesystemhybridcollisiondetection_tpu.core.step import (
+        check_speed_cover,
+    )
+
+    for name, cfg in PRESETS.items():
+        check_speed_cover(cfg)  # must not raise
+
+    import dataclasses
+
+    bad = dataclasses.replace(
+        PRESETS["bunny"], lifetime_steps=4001
+    )  # 9.81 * 0.01 * 4001 = 392 u/s > 220 covered
+    with _pytest.raises(ValueError, match="swept-lookup cover"):
+        check_speed_cover(bad)
+
+    # dynamic variant: a hot entry state trips the same guard
+    cfg = PRESETS["bunny"]
+    st = spawn_grid(cfg, layers_y=1)
+    st = st._replace(vel=st.vel.at[1].set(-100.0))
+    with _pytest.raises(ValueError, match="entry speed 100"):
+        check_speed_cover(cfg, num_steps=cfg.lifetime_steps, state=st)
