@@ -175,26 +175,30 @@ def main():
           f"k_cap p50/max = {int(np.median(np.asarray(k_cap)))}/"
           f"{int(np.asarray(k_cap).max())}")
 
+    # production parity: key_s engages the phase-1 Morton-compacted
+    # kernel rescue (omitting it used to measure a phase-2-only rescue,
+    # which over-charged the stage ~3x at settled overflow -- the r4
+    # roofline miss)
     @functools.partial(jax.jit, static_argnames=("m_cap",))
     def rescue_stage(kout, pos_s, vel_s, radius_s, restit_s, overflow,
-                     ovf_count, tables, packed, m_cap=8192):
+                     ovf_count, key_s, tables, packed, m_cap=1024):
         return _chunked_rescue(
             kout, (pos_s, vel_s, radius_s, restit_s), overflow, tables,
             packed, meta, num_groups, group, gravity, cfg, m_cap,
             window=window, rescue_window=rescue_window, ovf_count=ovf_count,
+            key_s=key_s,
         )
 
     out = rescue_stage(kout, pos_s, vel_s, radius_s, restit_s, overflow,
-                       ovf_count, tables, packed)
-    print(f"rescue (m=8192):   "
-          f"{timeit(rescue_stage, kout, pos_s, vel_s, radius_s, restit_s, overflow, ovf_count, tables, packed):6.2f} ms   "
+                       ovf_count, key_s, tables, packed)
+    print(f"rescue (2-phase):  "
+          f"{timeit(rescue_stage, kout, pos_s, vel_s, radius_s, restit_s, overflow, ovf_count, key_s, tables, packed):6.2f} ms   "
           f"n_over={int(out[3])}")
 
     # how far the rescue windows actually fit, chunk by chunk (under the
-    # density-first compaction order _chunked_rescue actually uses)
+    # lane-order cumsum compaction _chunked_rescue actually uses)
     ovf = np.asarray(overflow)
-    dens = np.asarray(ovf_count)
-    order = np.argsort(np.where(ovf, -dens, 1 << 30), kind="stable")
+    order = np.argsort(np.where(ovf, 0, 1 << 30), kind="stable")
     n_over = int(ovf.sum())
     from particlesystemhybridcollisiondetection_tpu.core.step import _plan_tail
 

@@ -32,6 +32,9 @@ def main() -> int:
                     choices=["sample", "bunny", "dragon", "dragons", "sphere"])
     ap.add_argument("--out", default="BenchmarkResults")
     ap.add_argument("--runs", type=int, default=6, help="reference: 6 (DragonScene.unity:1894)")
+    ap.add_argument("--run-offset", type=int, default=0,
+                    help="first run index; extend a committed 2-run ladder "
+                    "to 6 with --run-offset 2 --runs 4 + merge_protocol.py")
     ap.add_argument("--steps", type=int, default=None, help="reference: lifetime_steps (2001)")
     ap.add_argument("--k-min", type=int, default=0, help="particle sweep 128^2 * 2^k (BenchmarkManager.cs:280-283)")
     ap.add_argument("--k-max", type=int, default=7)
@@ -85,6 +88,7 @@ def main() -> int:
             accuracy=args.accuracy,
             spatial_all_cameras=args.spatial_all_cameras,
             plan=args.plan,
+            run_offset=args.run_offset,
         )
         for r in results:
             line = {

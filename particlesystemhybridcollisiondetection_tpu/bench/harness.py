@@ -317,11 +317,17 @@ def run_benchmark(
     accuracy: bool = False,
     spatial_all_cameras: bool = False,
     plan: str = "adaptive",
+    run_offset: int = 0,
 ) -> list[EpisodeResult]:
     """The full sweep: runs x methods x cameras (BenchmarkManager.cs:76-127).
 
     With ``out_dir``, writes the reference's CSV formats plus a JSON
     summary.
+
+    ``run_offset``: first run index.  Extending a committed ladder from
+    2 to the reference's 6 runs (DragonScene.unity:1894) means measuring
+    runs 2..5 WITHOUT re-measuring 0..1; the offset keeps run identities
+    honest through merge_protocol.py / the summary merge.
 
     Camera dedup: the SPATIAL method is camera-independent (the grid
     pipeline never reads the camera), so by default it runs on
@@ -337,7 +343,7 @@ def run_benchmark(
         else list(range(len(scene.cameras)))
     )
     results = []
-    for run in range(num_runs):
+    for run in range(run_offset, run_offset + num_runs):
         per_method: dict[str, list[EpisodeResult]] = {}
         for method in methods:
             dedup = Method(method) == Method.SPATIAL and not spatial_all_cameras
@@ -355,8 +361,8 @@ def run_benchmark(
                 results.append(r)
                 per_method.setdefault(method, []).append(r)
         if out_dir:
-            _write_csvs(scene, per_method, layers_y, out_dir, append=run != 0,
-                        accuracy=accuracy)
+            _write_csvs(scene, per_method, layers_y, out_dir,
+                        append=run != run_offset, accuracy=accuracy)
     if out_dir:
         _write_summary(scene, results, layers_y, out_dir,
                        spatial_all_cameras=spatial_all_cameras)
@@ -410,7 +416,11 @@ def _write_summary(scene, results, layers_y, out_dir,
     ]
     # merge with any existing summary so multi-size protocol sweeps (one
     # run_benchmark call per particle count) accumulate instead of clobber;
-    # fresh results replace stale entries with the same identity
+    # fresh results replace stale entries with the same identity.  The
+    # identity includes the run index (run_offset support): extending a
+    # ladder from 2 to 6 runs must not drop the committed runs 0..1 --
+    # replacing an old measurement still works because regeneration
+    # sweeps reuse the same run indices.
     path = os.path.join(out_dir, f"summary_{scene.name}.json")
     if os.path.exists(path):
         try:
@@ -419,7 +429,8 @@ def _write_summary(scene, results, layers_y, out_dir,
         except (json.JSONDecodeError, OSError):
             old = []
         def _key(s):
-            return (s["method"], s["camera"], s["num_particles"])
+            return (s["method"], s["camera"], s["num_particles"],
+                    s.get("run", 0))
         fresh = {_key(s) for s in summary}
         summary += [s for s in old if _key(s) not in fresh]
     _flag_transport_noise(summary)

@@ -782,11 +782,19 @@ def _maybe_code_table(grid, meta, cells_lookup: str):
     Dense cells (count >= 255) no longer gate the table: build_code_table
     saturates their count to the 255 miss sentinel, and since the
     two-phase Morton-compacted rescue landed (round 3) those lanes are
-    exactly the ones ``demote`` routes to the rescue pass anyway.  Round
-    3's measured negative (dragon 78 vs 32 ms/step settled with the
-    coded plan) predates the two-phase rescue AND the dual min/max code
-    windows; re-measured 2026-08-19 with both landed (see BASELINE.md
-    round-4 notes) the coded plan wins on the dragon as well."""
+    exactly the ones ``demote`` routes to the rescue pass anyway.
+
+    Plan choice on the DRAGON, measured 2026-08-20 (1M settled, 64
+    steps, resort_every=8 -- BASELINE.md round-5 notes): the coded plan
+    LOSES to the gather plan there, 29.9 vs 25.3 ms/step (its lookup
+    misses on the dragon's multi-modal settled rows feed overflow:
+    p50 17.4k vs 12.0k, max 51k vs 17k).  The two-phase rescue + dual
+    code windows narrowed round 3's 78-vs-32 gap but did not flip it.
+    The table is still BUILT under "auto" so the adaptive episode
+    executor (bench/harness.py::PlanChooser) can probe both plans and
+    keep the winner per phase; a pinned cells_lookup="kernel" on
+    dragon-class colliders is a known-slower static choice at settled
+    occupancy."""
     import numpy as _np
 
     from particlesystemhybridcollisiondetection_tpu.ops.pallas.window_kernel import (
@@ -961,10 +969,18 @@ def _chunked_rescue(
 
         def phase1(args):
             pos_k, vel_k, hit_k, still = args
-            # compaction order computed INSIDE the cond: the 1M argsort
+            # Compaction order computed INSIDE the cond: the 1M argsort
             # (~2 ms) used to run unconditionally, taxing zero-overflow
             # steps (the whole free-fall phase) for a rescue that never
-            # fires
+            # fires.  The argsort must key on CURRENT Morton codes: a
+            # round-5 attempt to replace it with a lane-order
+            # cumsum+scatter compaction (lane order = last re-sort's
+            # Morton order) ran 3x SLOWER overall (10.3 -> 29.9 ms/step
+            # settled 1M) -- the overflow population is exactly the
+            # DRIFTED lanes, so their stale lane order has no current
+            # row locality, the phase-1 fit collapses, and everything
+            # cascades into m_cap-sized phase-2 chunks.  Recorded
+            # negative; do not retry without a fit measurement.
             ord1 = jnp.argsort(jnp.where(overflow, key_s, big), stable=True)
             _, _, pos_k, vel_k, hit_k, still = jax.lax.while_loop(
                 p1_cond, p1_body,
@@ -1223,10 +1239,11 @@ def make_method_step(
 
 
 def check_speed_cover(cfg: SimConfig, num_steps: int | None = None,
-                      state: ParticleState | None = None) -> float:
-    """Binning-invariant guard (ADVICE r4): fail LOUDLY when an episode
-    can outrun the midpoint swept lookup instead of silently dropping
-    contacts.
+                      state: ParticleState | None = None,
+                      strict: bool = False) -> float:
+    """Binning-invariant guard (ADVICE r4): complain LOUDLY when an
+    episode could outrun the midpoint swept lookup instead of silently
+    dropping contacts.
 
     The grid bins triangles ``expand`` around each cell; queries key on
     the travel-segment midpoint (ops.grid.lookup_pos), so a particle is
@@ -1234,19 +1251,20 @@ def check_speed_cover(cfg: SimConfig, num_steps: int | None = None,
     presets assume spawn at rest and restitution <= 1 (collisions never
     add speed beyond the -g*dt precompensation), so the episode speed
     bound is ``|v_entry| + g*dt*num_steps``.  This checks that bound
-    against the config's covered speed ``2*(expand - radius)/dt`` and
-    raises ValueError on violation -- longer episodes, larger dt, or
-    nonzero entry velocities now fail at build time rather than
-    tunneling through geometry.
+    against the config's covered speed ``2*(expand - radius)/dt``.
 
-    ``state=None`` (the default, used at runner-build time) assumes
-    spawn at rest; pass the entry state (or set PSYS_SPEED_GUARD=1 on
-    the episode runners) to include its measured max speed -- that
-    variant costs one device readback, so it is not on the timed path
-    by default.  Returns the episode speed bound (u/s).
+    On violation: ``strict=False`` (build-time default) warns -- the
+    bound keys on ``cfg.lifetime_steps``, a declared worst case that
+    short diagnostic runs (e.g. deliberately-inflated dt in the overflow
+    tests) never reach; ``strict=True`` raises.  The PSYS_SPEED_GUARD=1
+    dynamic check on the episode runners is strict: there the entry
+    state's measured max speed and the actual requested steps make the
+    bound real, not declared.
+
+    ``state=None`` (the default) assumes spawn at rest; passing the
+    entry state costs one device readback, so it is not on the timed
+    path by default.  Returns the episode speed bound (u/s).
     """
-    import os
-
     g = float(jnp.linalg.norm(jnp.asarray(cfg.gravity)))
     steps = cfg.lifetime_steps if num_steps is None else num_steps
     v_entry = 0.0
@@ -1256,14 +1274,19 @@ def check_speed_cover(cfg: SimConfig, num_steps: int | None = None,
     v_bound = v_entry + g * cfg.dt * steps
     covered = 2.0 * (cfg.grid.expand - cfg.particle_radius) / cfg.dt
     if v_bound > covered:
-        raise ValueError(
+        msg = (
             f"episode speed bound {v_bound:.1f} u/s exceeds the midpoint "
             f"swept-lookup cover 2*(expand - radius)/dt = {covered:.1f} "
             f"u/s (expand={cfg.grid.expand}, radius={cfg.particle_radius}, "
             f"dt={cfg.dt}, steps={steps}, entry speed {v_entry:.1f}); "
-            "raise grid.expand or shorten the episode -- faster particles "
-            "would silently miss binned triangles (tunneling)"
+            "raise grid.expand or shorten the episode -- particles above "
+            "the cover speed silently miss binned triangles (tunneling)"
         )
+        if strict:
+            raise ValueError(msg)
+        import warnings
+
+        warnings.warn(msg)
     return v_bound
 
 
@@ -1291,11 +1314,23 @@ def _auto_window(window, meta) -> int:
     lane segment of neighbor headroom (a 128-particle sublane usually
     spans a handful of cells), capped at 2048 rows.  Cells denser than
     the cap rely on the exact compacted fallback every step.
+
+    On TPU the floor is 1024 rows (round 5, measured): drift between
+    lazy re-sorts makes settled sublanes span more pair rows than the
+    densest-cell bound, and the window size is what absorbs that drift
+    -- 1M bunny settled 10.42 -> 9.28 ms/step, full 2001-step episode
+    16.7 -> 14.5, dragon hybrid episode 51.0 -> 49.0, spawn phase
+    neutral (2.39 -> 2.38; the dead-DMA segment skips make unused
+    window rows free in sparse regimes).  CPU/interpret paths keep the
+    small window: no drift economics, and small windows keep the
+    interpret-mode tests fast.
     """
     if window is not None:
         return window
     want = ((meta.max_tris_per_cell + 127) // 128) * 128 + 128
     w = max(256, min(2048, want))
+    if jax.default_backend() == "tpu":
+        w = max(w, 1024)
     if meta.max_tris_per_cell > w:
         import warnings
 
@@ -1549,8 +1584,14 @@ def make_sorted_episode_runner(
     axis_name: str = "data",
     cells_lookup: str = "auto",
     dense_demote: "int | None | str" = "auto",
+    rescue_chunk: int = 8192,
 ):
     """Episode runner with PERSISTENT sorted order.
+
+    ``rescue_chunk``: phase-1 rescue kernel chunk size (lanes per
+    while_loop iteration; see _chunked_rescue).  Settled 1M drift
+    overflow is 11-20k/step, so 8192 means 2-3 sequential chunk
+    iterations per step.
 
     The per-step order restoration (inverse-permutation sort + gather)
     costs ~7 ms at 1M particles; within an episode nothing needs the
@@ -1704,7 +1745,7 @@ def make_sorted_episode_runner(
             (pos_s, vel_s, radius_s, restit_s),
             overflow, tables, packed, meta, num_groups, group, gravity, cfg,
             m_cap, window=window, rescue_window=rescue_window,
-            key_s=key_s, ovf_count=ovf_count,
+            key_s=key_s, ovf_count=ovf_count, kernel_chunk=rescue_chunk,
             interpret=interpret,
         )
 
@@ -1758,7 +1799,7 @@ def make_sorted_episode_runner(
             (pos_s, vel_s, radius_s, restit_s),
             overflow, tables, packed, meta, num_groups, group, gravity, cfg,
             m_cap, window=window, rescue_window=rescue_window,
-            key_s=key_s, ovf_count=ovf_count,
+            key_s=key_s, ovf_count=ovf_count, kernel_chunk=rescue_chunk,
             interpret=interpret,
         )
 
@@ -1793,7 +1834,8 @@ def make_sorted_episode_runner(
             # debug-mode dynamic guard (ADVICE r4): include the entry
             # state's measured max speed; one device readback, so it is
             # opt-in rather than on the timed path
-            check_speed_cover(cfg, num_steps=num_steps, state=state)
+            check_speed_cover(cfg, num_steps=num_steps, state=state,
+                              strict=True)
         rows8 = jnp.concatenate(
             [
                 state.pos,

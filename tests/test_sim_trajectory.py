@@ -145,12 +145,19 @@ def test_speed_cover_guard():
     bad = dataclasses.replace(
         PRESETS["bunny"], lifetime_steps=4001
     )  # 9.81 * 0.01 * 4001 = 392 u/s > 220 covered
-    with _pytest.raises(ValueError, match="swept-lookup cover"):
+    # build-time default: warn (the bound keys on the DECLARED episode;
+    # short diagnostic runs never reach it)
+    with _pytest.warns(UserWarning, match="swept-lookup cover"):
         check_speed_cover(bad)
+    # strict mode raises
+    with _pytest.raises(ValueError, match="swept-lookup cover"):
+        check_speed_cover(bad, strict=True)
 
-    # dynamic variant: a hot entry state trips the same guard
+    # dynamic variant (PSYS_SPEED_GUARD path is strict): a hot entry
+    # state trips the guard
     cfg = PRESETS["bunny"]
     st = spawn_grid(cfg, layers_y=1)
     st = st._replace(vel=st.vel.at[1].set(-100.0))
     with _pytest.raises(ValueError, match="entry speed 100"):
-        check_speed_cover(cfg, num_steps=cfg.lifetime_steps, state=st)
+        check_speed_cover(cfg, num_steps=cfg.lifetime_steps, state=st,
+                          strict=True)
