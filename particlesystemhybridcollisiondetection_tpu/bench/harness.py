@@ -118,7 +118,7 @@ def run_episode(
     per_step_timing: bool = False,
     warmup_steps: int = 1,
     persistent: Optional[bool] = None,
-    resort_every: int = 8,
+    resort_every: "int | str" = 8,
     plan: str = "adaptive",
 ) -> EpisodeResult:
     """Roll + time one episode.
@@ -269,9 +269,11 @@ def _run_episode_persistent(
 
     # compile BOTH step variants (sorted + lazy) of every candidate
     # outside the timed region: a 1-step warmup would leave the lazy
-    # step to compile inside the first timed chunk
+    # step to compile inside the first timed chunk ("auto" compiles both
+    # bodies in its single cond program, so 2 steps suffice)
+    warm = 2 if resort_every == "auto" else resort_every + 1
     for r in runners.values():
-        throwaway = r(state, resort_every + 1)
+        throwaway = r(state, warm)
         fence(throwaway.pos)
         del throwaway
     state = runners[next(iter(runners))](state, max(warmup_steps, 1))

@@ -1577,7 +1577,7 @@ def make_sorted_episode_runner(
     window: int | None = None,
     fallback_capacity: int = 1024,
     interpret: bool = False,
-    resort_every: int = 1,
+    resort_every: "int | str" = 1,
     camera=None,
     normals=None,
     mesh=None,
@@ -1585,6 +1585,7 @@ def make_sorted_episode_runner(
     cells_lookup: str = "auto",
     dense_demote: "int | None | str" = "auto",
     rescue_chunk: int = 8192,
+    resort_threshold: int = 8192,
 ):
     """Episode runner with PERSISTENT sorted order.
 
@@ -1592,6 +1593,18 @@ def make_sorted_episode_runner(
     while_loop iteration; see _chunked_rescue).  Settled 1M drift
     overflow is 11-20k/step, so 8192 means 2-3 sequential chunk
     iterations per step.
+
+    ``resort_every="auto"``: OVERFLOW-TRIGGERED re-sort.  Every step runs
+    one jitted program that ``lax.cond``s between the sorted and lazy
+    bodies on the PREVIOUS step's (device-scalar) overflow count -- no
+    host readback, no wall-clock dependence, bit-deterministic.  The
+    trigger is self-calibrating: ``base`` is the overflow measured right
+    after the most recent sort (scenes like the dragon keep a steady
+    demote-driven overflow floor that a fixed threshold would mistake
+    for drift), and a step re-sorts when ``n_over > base +
+    resort_threshold``.  Free-fall phases (overflow 0) never pay the
+    6.4 ms/1M sort+permute; settled phases sort exactly when drift has
+    grown enough that rescue work would exceed the sort.
 
     The per-step order restoration (inverse-permutation sort + gather)
     costs ~7 ms at 1M particles; within an episode nothing needs the
@@ -1817,9 +1830,31 @@ def make_sorted_episode_runner(
         )
         return rows8[:, inv], aux[:, inv]
 
+    _raw_rows, _raw_lazy = _step_rows, _step_lazy  # pre-jit bodies
+
+    def _step_auto(rows8, aux, do_sort, tables, packed, tex, ctab):
+        # overflow-triggered re-sort: both bodies live in ONE program and
+        # lax.cond picks per step on a device scalar (see docstring);
+        # do_sort is a replicated scalar input so every shard takes the
+        # same branch and shard_map collectives stay congruent
+        return jax.lax.cond(
+            do_sort,
+            lambda: _raw_rows(rows8, aux, tables, packed, tex, ctab),
+            lambda: _raw_lazy(rows8, aux, tables, packed, tex, ctab),
+        )
+
+    _step_auto = _jit_maybe_sharded_rows(_step_auto, mesh, axis_name, 1)
     _step_rows = _jit_maybe_sharded_rows(_step_rows, mesh, axis_name, 1)
     _step_lazy = _jit_maybe_sharded_rows(_step_lazy, mesh, axis_name, 1)
     _restore = _jit_maybe_sharded_rows(_restore, mesh, axis_name, 0)
+
+    @jax.jit
+    def _trigger_update(do_sort, n_over, base):
+        # base = overflow right after the most recent sort; re-sort when
+        # the drifted overflow exceeds it by resort_threshold.  One tiny
+        # program per step, dispatched async -- no host readback.
+        base = jnp.where(do_sort, n_over, base)
+        return base, n_over > base + resort_threshold
 
     def run(state: ParticleState, num_steps: int, with_stats: bool = False):
         """``with_stats=True``: also return per-step window-overflow
@@ -1847,11 +1882,22 @@ def make_sorted_episode_runner(
         )
         aux = jnp.stack([state.collisions, jnp.arange(n, dtype=jnp.int32)])
         overflows = []
-        for i in range(num_steps):
-            fn = _step_rows if i % resort_every == 0 else _step_lazy
-            rows8, aux, n_over = fn(rows8, aux, tables, packed, tex, ctab)
-            if with_stats:
-                overflows.append(n_over)
+        if resort_every == "auto":
+            do_sort = jnp.asarray(True)  # step 0 establishes the order
+            base = jnp.asarray(0, dtype=jnp.int32)
+            for i in range(num_steps):
+                rows8, aux, n_over = _step_auto(
+                    rows8, aux, do_sort, tables, packed, tex, ctab
+                )
+                base, do_sort = _trigger_update(do_sort, n_over, base)
+                if with_stats:
+                    overflows.append(n_over)
+        else:
+            for i in range(num_steps):
+                fn = _step_rows if i % resort_every == 0 else _step_lazy
+                rows8, aux, n_over = fn(rows8, aux, tables, packed, tex, ctab)
+                if with_stats:
+                    overflows.append(n_over)
         rows8, aux = _restore(rows8, aux)
         out = state._replace(
             pos=rows8[0:3],

@@ -119,6 +119,39 @@ def test_lazy_resort_runner_matches_per_step_smoke():
     )
 
 
+def test_auto_resort_runner_matches_per_step_smoke():
+    """resort_every="auto" (overflow-triggered on-device re-sort) must be
+    exactly the per-step sorted runner's physics: the lax.cond only picks
+    WHEN to restore sortedness, which is a performance hint.  threshold=0
+    re-sorts on any overflow above the post-sort baseline, so both cond
+    branches execute across the run."""
+    from particlesystemhybridcollisiondetection_tpu.core.step import (
+        make_sorted_episode_runner,
+    )
+
+    scene = _fast_scene()
+    cfg = scene.config
+    state = spawn_grid(cfg, layers_y=1)
+    mask = np.asarray(active_mask(state))
+    step = make_spatial_step_sorted(scene.triangles, cfg, interpret=True)
+    runner = make_sorted_episode_runner(
+        scene.triangles, cfg, interpret=True, resort_every="auto",
+        resort_threshold=0,
+    )
+    s = state
+    for _ in range(75):
+        s = step(s)
+    r = runner(state, 75)
+    np.testing.assert_array_equal(
+        np.asarray(r.collisions)[mask], np.asarray(s.collisions)[mask]
+    )
+    np.testing.assert_allclose(
+        np.asarray(r.pos)[:, mask], np.asarray(s.pos)[:, mask],
+        rtol=1e-6, atol=1e-7,
+    )
+    assert int(np.asarray(s.collisions)[mask].sum()) > 0
+
+
 def test_hybrid_persistent_runner_matches_per_step_smoke():
     """Hybrid-mode persistent runner (camera=...) == repeated
     make_hybrid_step_sorted steps, including across lazy-resort
