@@ -41,6 +41,9 @@ def main() -> None:
     # would charge this 150-step measurement one known-slower chunk; the
     # coded plan is the measured best for the spawn-phase regime
     # (BASELINE.md), and pinned runs are bit-deterministic.
+    # resort_every="auto" (round 5): overflow-triggered re-sort -- free
+    # fall preserves sort order, so the spawn phase pays zero sorts
+    # (measured 2.38 -> 1.35 ms/step at 1M; BASELINE.md round-5 tables).
     result = run_episode(
         scene,
         "spatial",
@@ -49,6 +52,7 @@ def main() -> None:
         chunk=50,
         warmup_steps=1,
         plan="kernel",
+        resort_every="auto",
     )
     elapsed = time.time() - t0
 
@@ -81,8 +85,11 @@ def main() -> None:
             rtt_ms,
         )
 
+        # measured-best settled config (BASELINE.md round-5 lever sweeps:
+        # window=2048 absorbs drift; re-sort cadence 12 measured best in
+        # this probe's 620-step regime: 7.76 vs 8.06 at re=16)
         run = make_sorted_episode_runner(
-            scene.triangles, scene.config, resort_every=8
+            scene.triangles, scene.config, resort_every=12, window=2048
         )
         st = spawn_grid(scene.config, layers_y=64)
         st = run(st, 620)  # through impact into the settled pile

@@ -151,6 +151,11 @@ def main():
     ap.add_argument("--cache",
                     default=os.path.expanduser("~/.cache/psys_states"))
     ap.add_argument("--resort-every", type=int, default=8)
+    ap.add_argument("--window", type=int, default=1024,
+                    help="main-kernel window rows; must MATCH the "
+                    "production config being modeled (the host-side "
+                    "_auto_window would return the CPU default, not the "
+                    "TPU floor)")
     ap.add_argument("--ipc", type=float, default=2.0,
                     help="sustained VPU vreg-ops/cycle (floor: 4)")
     ap.add_argument("--measured", type=float, default=None,
@@ -176,7 +181,7 @@ def main():
     dt = scene.config.dt
 
     grid, meta = build_triangle_grid(scene.triangles, scene.config.grid)
-    window = _auto_window(None, meta)
+    window = args.window or _auto_window(None, meta)
     offsets = np.asarray(grid.offsets).astype(np.int64)
     counts = np.diff(offsets)
     codes = morton_cell_codes(meta)
