@@ -18,26 +18,42 @@ ones -- free fall preserves order, settled micro-oscillation does not).
 No TPU is touched; measured stage times for validation come from
 benchmarks/profile_settled.py (run separately, on hardware).
 
+Model structure (round 5 refit; the round-4 version over-charged the
+rescue stage ~4x by modeling phase-1 chunks from first principles with
+a mis-fit per-iteration count AND ran on a stale pre-midpoint-anchor
+snapshot -- VERDICT r4 weak #2):
+
+  * WORK COUNTS (overflow, live sublanes, trips, DMA counts) come from
+    the NumPy plan replica below -- first-principles, drift-averaged
+    over a full re-sort cycle.
+  * STAGE TIMES anchor on isolated measurements from
+    benchmarks/profile_settled.py (committed in BASELINE.md round-5):
+    sort+permute, coded plan, main kernel, and the 2-phase rescue at
+    the drift-0 baseline overflow.  Cheap fused stages (key, state io)
+    stay first-principles from HBM bandwidth.
+  * The rescue stage is ANCHOR + SLOPE: its measured drift-0 cost plus
+    a fitted marginal cost per overflow lane (RESCUE_SLOPE, fit ONCE at
+    the (window=1024, resort=8) production row), because its cost is
+    dominated by fixed work (the 1M compaction argsort + first chunk +
+    phase-2 spine) with a shallow linear tail in the overflow count.
+  * One glue constant (GLUE_MS: concat/aux carry + integrate + trigger)
+    absorbs what the isolated stages do not cover; fit at the same row.
+
+  Everything else (6 production rows across window in {1024, 2048} x
+  resort_every in {8, 16, 32}) is VALIDATION, not fit -- residuals are
+  printed per config and committed to BASELINE.md.
+
 Machine constants (TPU v5e, one core):
 
   HBM_BW      819 GB/s   public v5e spec (jax-ml.github.io/scaling-book)
   VPU         940 MHz x 4 ALUs x (8,128)-lane vregs
-              = 3.76e9 vreg-ops/s at IPC 4 (the floor rate);
-              Mosaic-sustained IPC is ~2 on this kernel's mix of
-              fma/select/rsqrt (fit once against the measured kernel
-              stage; every OTHER stage then must follow)
-  DMA_NS      ~65 ns effective per outstanding async copy (fit from
-              the measured cells-kernel stage: 0.53 ms / (1024 blocks
-              x ~8 live copies); both Pallas stages issue 8-16 copies
-              per block and are latency- not byte-bound)
   GATHER_NS   6.3 ns per XLA gather index (measured 2026-08-17,
               window_kernel.py::WindowTables.cells2 notes)
-  SORT_MS     1.1 ms per 1M-key (key, payload) lax.sort (measured,
-              BASELINE.md round-2 glue table)
 
 Usage:
-    python benchmarks/roofline_spatial.py                  # model table
-    python benchmarks/roofline_spatial.py --measured 8.79  # vs measured
+    python benchmarks/roofline_spatial.py --window 1024 --resort-every 8
+    python benchmarks/roofline_spatial.py --window 2048 --resort-every 16 \
+        --measured 8.90
 """
 
 from __future__ import annotations
@@ -55,10 +71,21 @@ CODE_WC = 512  # core/step.py::_CODE_WC
 HBM_BW = 819e9
 VPU_HZ = 940e6
 VPU_ALUS = 4
-DMA_NS = 65e-9
 GATHER_NS = 6.3e-9
-SORT_MS_1M = 1.1
-ARGSORT_MS_1M = 2.0  # measured: rescue phase-1 compaction argsort at 1M
+
+# Measured isolated stage anchors (profile_settled.py, 1M bunny settled
+# snapshot 2026-08-20, post-midpoint-anchor; BASELINE.md round-5).
+# Keyed by window; re-measure and extend when modeling a new config.
+STAGE_ANCHORS = {
+    1024: dict(sort_ms=6.39, plan_ms=1.03, kernel_ms=1.29,
+               rescue0_ms=4.35, rescue0_n=1435),
+    2048: dict(sort_ms=6.36, plan_ms=0.57, kernel_ms=1.44,
+               rescue0_ms=3.86, rescue0_n=481),
+}
+# Fitted at the (1024, resort=8) production row (9.32 ms, overflow p50
+# 11.5k); every other config is validation.
+RESCUE_SLOPE_MS_PER_K = 0.11  # marginal rescue ms per 1k overflow lanes
+GLUE_MS = 0.70  # carry concat/aux + integrate + trigger update
 
 
 def _spread(x):
@@ -144,6 +171,14 @@ def plan_replica(pos, vel, dt, meta, counts_by_cell, start_by_cell,
 
 
 def main():
+    # "No TPU is touched" must hold even when the axon sitecustomize
+    # ignores JAX_PLATFORMS=cpu from the environment: grid tables built
+    # under the default backend would land on the (possibly busy) TPU
+    # and the np.asarray readbacks below would block behind it.  Same
+    # in-process override as tests/conftest.py.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="bunny")
     ap.add_argument("--layers", type=int, default=64)
@@ -156,10 +191,11 @@ def main():
                     "production config being modeled (the host-side "
                     "_auto_window would return the CPU default, not the "
                     "TPU floor)")
-    ap.add_argument("--ipc", type=float, default=2.0,
-                    help="sustained VPU vreg-ops/cycle (floor: 4)")
     ap.add_argument("--measured", type=float, default=None,
                     help="measured settled ms/step to compare against")
+    ap.add_argument("--measured-overflow", type=float, default=None,
+                    help="measured overflow p50 (study_settled_levers); "
+                    "overrides the replica's drift-averaged prediction")
     ap.add_argument("--out", default=None, help="write JSON artifact here")
     args = ap.parse_args()
 
@@ -200,91 +236,68 @@ def main():
         for a in range(R)
     ]
     avg = {k: float(np.mean([p[k] for p in per])) for k in per[0]}
-    s = window // LANE  # _lane_gather segments per component
 
-    # ---- per-iteration vreg-op count (window_kernel._kernel::body) ----
-    # 9 comps x s segments x (gather + select)          = 18*s
-    # normal + flip + offset (cross, rsqrt, selects)    ~ 30
-    # 2 offset-plane tests (cross x2, dots x5, div ...) ~ 45 each
-    # 3 edge cylinders (dots x6, sqrt, caps)            ~ 40 each
-    # 3 vertex spheres                                  ~ 15 each
-    # consider/nearest bookkeeping                      ~ 25
-    ops_iter = 18 * s + 30 + 2 * 45 + 3 * 40 + 3 * 15 + 25
-    vpu_rate = VPU_HZ * args.ipc  # vreg-ops/s sustained
-    vpu_floor = VPU_HZ * VPU_ALUS
+    anchor = STAGE_ANCHORS.get(window)
+    if anchor is None:
+        raise SystemExit(
+            f"no measured stage anchors for window={window}; run "
+            "benchmarks/profile_settled.py --window {window} and add them "
+            "to STAGE_ANCHORS"
+        )
+
+    # Drift-averaged overflow: the replica's ballistic-rewind drift
+    # model UNDER-predicts the measured p50 (real settled jiggle is not
+    # ballistic -- cell-boundary oscillation decorrelates lane order
+    # faster), so report both and let --measured-overflow override.
+    ovf = (args.measured_overflow
+           if args.measured_overflow is not None else avg["overflow"])
 
     st = {}
-    # A. morton key of the midpoint: ~3 fused passes over [3,N] f32 + key
+    # morton key of the midpoint: ~3 fused passes over [3,N] f32 + key
     st["key (elemwise)"] = (n * (24 + 4 + 4)) / HBM_BW * 1e3
-    # B. re-sort every R steps: 1M-key sort + [8,N] permute row-gather
-    st["sort+permute /%d" % R] = (
-        SORT_MS_1M * (n / 1e6) + n * GATHER_NS * 1e3 * 1.3
-    ) / R
-    # C. cells kernel: (8 + live hi) 2KB copies per block, latency-bound
-    st["plan: cells kernel"] = (
-        (nb * SUB + avg["hi_dmas"]) * DMA_NS * 1e3
-        + nb * 40 / vpu_rate * 1e3
-    )
-    # D. plan tail: ~15 fused passes over i32[N]
-    st["plan: tail reductions"] = (n * 15 * 4 * 2 / 8) / HBM_BW * 1e3
-    # E. main kernel: live-sublane [16,w] copies + trip_total iterations
-    dma_bytes = avg["live_sublanes"] * 16 * window * 4
-    st["kernel: pairs DMA"] = max(
-        avg["live_sublanes"] * DMA_NS, dma_bytes / HBM_BW
-    ) * 1e3
-    st["kernel: narrow phase"] = (
-        avg["trip_total"] * ops_iter / vpu_rate * 1e3
-    )
+    st["sort+permute /%d" % R] = anchor["sort_ms"] / R
+    st["plan (coded)"] = anchor["plan_ms"]
+    st["main kernel"] = anchor["kernel_ms"]
     # in/out blocks stream [3,8,128] x4 + scalars regardless of emptiness
     st["kernel: state io"] = (n * (28 + 28 + 8 + 8 + 4) / HBM_BW) * 1e3
-    # F. rescue: compaction argsort (fires when overflow > 0) + one
-    #    8192-chunk kernel pass per 8192 overflow lanes (gather/scatter
-    #    ~10 rows io + kernel on 8 blocks at the rescue window)
-    chunks = np.mean([np.ceil(p["overflow"] / 8192) for p in per])
-    st["rescue: argsort"] = ARGSORT_MS_1M * (n / 1e6)
-    st["rescue: chunks"] = float(chunks) * (
-        8192 * 10 * GATHER_NS * 1e3
-        + 8 * SUB * DMA_NS * 1e3
-        + 8192 * 4 * ops_iter / vpu_rate * 1e3  # ~4 trips/lane observed
+    st["glue (carry+integrate)"] = GLUE_MS
+    # rescue: measured drift-0 anchor (argsort + first chunk + phase-2
+    # spine) + fitted marginal slope in the overflow count
+    st["rescue (anchor+slope)"] = (
+        anchor["rescue0_ms"]
+        + RESCUE_SLOPE_MS_PER_K * max(0.0, ovf - anchor["rescue0_n"]) / 1e3
     )
 
     total = sum(st.values())
-    floor = (
-        st["key (elemwise)"]
-        + st["plan: tail reductions"]
-        + st["kernel: state io"]
-        + dma_bytes / HBM_BW * 1e3
-        + avg["trip_total"] * ops_iter / vpu_floor * 1e3
-    )
 
-    print(f"scene={scene.name} n={n} nb={nb} window={window} "
-          f"segments/gather={s} ops/iter~{ops_iter}")
+    print(f"scene={scene.name} n={n} nb={nb} window={window} R={R}")
     print(f"avg work counts over a {R}-step re-sort cycle: "
           + json.dumps({k: round(v, 1) for k, v in avg.items()}))
+    if args.measured_overflow is not None:
+        print(f"(overflow overridden to measured {ovf:.0f}; "
+              f"replica predicted {avg['overflow']:.0f})")
     print(f"{'stage':<26}{'model ms':>10}")
     for k, v in st.items():
         print(f"{k:<26}{v:>10.3f}")
     print(f"{'TOTAL (model)':<26}{total:>10.3f}")
-    print(f"{'machine floor (IPC 4)':<26}{floor:>10.3f}")
     if args.measured:
         print(
-            f"measured {args.measured:.3f} ms/step = {args.measured/total:.2f}x "
-            f"model, {args.measured/floor:.2f}x machine floor "
-            f"({100*floor/args.measured:.0f}% of speed-of-light)"
+            f"measured {args.measured:.3f} ms/step: model residual "
+            f"{100 * (total - args.measured) / args.measured:+.1f}%"
         )
     if args.out:
         with open(args.out, "w") as f:
             json.dump({
                 "scene": scene.name, "n": n, "window": window,
-                "ops_per_iter": ops_iter, "avg_counts": avg,
+                "resort_every": R, "avg_counts": avg,
+                "overflow_used": ovf,
                 "stages_ms": {k: round(v, 4) for k, v in st.items()},
                 "total_model_ms": round(total, 3),
-                "floor_ms": round(floor, 3),
                 "measured_ms": args.measured,
                 "constants": {
-                    "HBM_BW": HBM_BW, "VPU_HZ": VPU_HZ, "IPC": args.ipc,
-                    "DMA_NS": DMA_NS, "GATHER_NS": GATHER_NS,
-                    "SORT_MS_1M": SORT_MS_1M,
+                    "HBM_BW": HBM_BW, "GATHER_NS": GATHER_NS,
+                    "RESCUE_SLOPE_MS_PER_K": RESCUE_SLOPE_MS_PER_K,
+                    "GLUE_MS": GLUE_MS, "anchors": anchor,
                 },
             }, f, indent=2)
         print(f"wrote {args.out}")
