@@ -830,6 +830,13 @@ def _maybe_code_table(grid, meta, cells_lookup: str):
     return build_code_table(grid, meta, _CODE_WC) if use else None
 
 
+# Bounded-compaction buffer for the phase-1 rescue order
+# (_chunked_rescue(rescue_compact=True)): settled drift overflow is
+# 1-20k lanes at 1M, so a 64k buffer covers it with a runtime argsort
+# fallback for rain-regime spikes.
+_COMPACT_CAP = 65536
+
+
 def _chunked_rescue(
     kernel_out,
     sorted_state,
@@ -848,6 +855,7 @@ def _chunked_rescue(
     key_s=None,
     ovf_count=None,
     kernel_chunk: int = 8192,
+    rescue_compact: bool = False,
     interpret: bool = False,
 ):
     """Exact redo for window-overflow particles, in two phases.
@@ -967,21 +975,67 @@ def _chunked_rescue(
             still = still.at[pick].set(redo & ~decided)
             return c + 1, ord1, pos_k, vel_k, hit_k, still
 
+        def _ord_argsort():
+            # The argsort must key on CURRENT Morton codes: a round-5
+            # attempt at a lane-order cumsum+scatter compaction (lane
+            # order = last re-sort's Morton order) ran 3x SLOWER overall
+            # (10.3 -> 29.9 ms/step settled 1M) -- the overflow
+            # population is exactly the DRIFTED lanes, so their stale
+            # lane order has no current row locality, the phase-1 fit
+            # collapses, and everything cascades into m_cap-sized
+            # phase-2 chunks.  Recorded negative; key-order is required.
+            return jnp.argsort(jnp.where(overflow, key_s, big), stable=True)
+
+        def _ord_compact():
+            # Bounded compaction (round 5, rescue_compact=True): the
+            # full-N argsort costs ~2 ms at 1M and is the rescue's
+            # dominant FIXED cost (roofline refit, BASELINE.md round-5),
+            # but settled overflow is only 1-20k lanes.  Scatter the
+            # overflow lanes by cumsum rank into a _COMPACT_CAP buffer
+            # (lane order), then sort just that buffer by current Morton
+            # key -- identical order to the argsort restricted to
+            # overflow lanes (stable tie-break by lane in both).  Tail
+            # entries beyond n_over are filled with NON-overflow lanes
+            # (like the argsort's tail), so the partial last chunk's
+            # padding lanes have redo=False and every write is a no-op;
+            # the chunk loop never reads past n_over otherwise.
+            lanes = jnp.arange(n, dtype=jnp.int32)
+            ovf_i = overflow.astype(jnp.int32)
+            rank = jnp.cumsum(ovf_i) - 1
+            cap = _COMPACT_CAP
+            slot = jnp.where(overflow & (rank < cap), rank, cap)
+            keys_c = jnp.full((cap,), big, dtype=key_s.dtype).at[slot].set(
+                key_s, mode="drop"
+            )
+            idx_c = jnp.zeros((cap,), jnp.int32).at[slot].set(
+                lanes, mode="drop"
+            )
+            _, ord_c = jax.lax.sort((keys_c, idx_c), num_keys=1)
+            rank_n = jnp.cumsum(1 - ovf_i) - 1
+            slot_n = jnp.where((~overflow) & (rank_n < cap), rank_n, cap)
+            pad_c = jnp.zeros((cap,), jnp.int32).at[slot_n].set(
+                lanes, mode="drop"
+            )
+            pos_in = jnp.arange(n, dtype=jnp.int32)
+            tail = pad_c[jnp.maximum(pos_in - n_over, 0) % cap]
+            return jnp.where(
+                pos_in < n_over, ord_c[jnp.minimum(pos_in, cap - 1)], tail
+            )
+
         def phase1(args):
             pos_k, vel_k, hit_k, still = args
             # Compaction order computed INSIDE the cond: the 1M argsort
             # (~2 ms) used to run unconditionally, taxing zero-overflow
             # steps (the whole free-fall phase) for a rescue that never
-            # fires.  The argsort must key on CURRENT Morton codes: a
-            # round-5 attempt to replace it with a lane-order
-            # cumsum+scatter compaction (lane order = last re-sort's
-            # Morton order) ran 3x SLOWER overall (10.3 -> 29.9 ms/step
-            # settled 1M) -- the overflow population is exactly the
-            # DRIFTED lanes, so their stale lane order has no current
-            # row locality, the phase-1 fit collapses, and everything
-            # cascades into m_cap-sized phase-2 chunks.  Recorded
-            # negative; do not retry without a fit measurement.
-            ord1 = jnp.argsort(jnp.where(overflow, key_s, big), stable=True)
+            # fires.
+            if rescue_compact and n >= 2 * _COMPACT_CAP:
+                # runtime fallback: overflow beyond the buffer (rain
+                # regimes) takes the exact full argsort
+                ord1 = jax.lax.cond(
+                    n_over > _COMPACT_CAP, _ord_argsort, _ord_compact
+                )
+            else:
+                ord1 = _ord_argsort()
             _, _, pos_k, vel_k, hit_k, still = jax.lax.while_loop(
                 p1_cond, p1_body,
                 (jnp.int32(0), ord1, pos_k, vel_k, hit_k, still),
@@ -1586,8 +1640,14 @@ def make_sorted_episode_runner(
     dense_demote: "int | None | str" = "auto",
     rescue_chunk: int = 8192,
     resort_threshold: int = 8192,
+    rescue_compact: bool = False,
 ):
     """Episode runner with PERSISTENT sorted order.
+
+    ``rescue_compact``: build the phase-1 rescue order by bounded
+    cumsum+scatter compaction + a 64k-key sort instead of the full-N
+    argsort (identical order; see _chunked_rescue), with a runtime
+    argsort fallback when overflow exceeds the buffer.
 
     ``rescue_chunk``: phase-1 rescue kernel chunk size (lanes per
     while_loop iteration; see _chunked_rescue).  Settled 1M drift
@@ -1759,7 +1819,7 @@ def make_sorted_episode_runner(
             overflow, tables, packed, meta, num_groups, group, gravity, cfg,
             m_cap, window=window, rescue_window=rescue_window,
             key_s=key_s, ovf_count=ovf_count, kernel_chunk=rescue_chunk,
-            interpret=interpret,
+            rescue_compact=rescue_compact, interpret=interpret,
         )
 
         # output stays in THIS step's sorted order
@@ -1813,7 +1873,7 @@ def make_sorted_episode_runner(
             overflow, tables, packed, meta, num_groups, group, gravity, cfg,
             m_cap, window=window, rescue_window=rescue_window,
             key_s=key_s, ovf_count=ovf_count, kernel_chunk=rescue_chunk,
-            interpret=interpret,
+            rescue_compact=rescue_compact, interpret=interpret,
         )
 
         out8 = jnp.concatenate([pos_k, vel_k, rows8[6:8]], axis=0)

@@ -152,6 +152,44 @@ def test_auto_resort_runner_matches_per_step_smoke():
     assert int(np.asarray(s.collisions)[mask].sum()) > 0
 
 
+def test_rescue_compact_order_matches_argsort():
+    """rescue_compact=True builds the phase-1 rescue order by bounded
+    cumsum+scatter compaction + small sort; restricted to overflow lanes
+    it is IDENTICAL to the full argsort (stable tie-break by lane in
+    both), and padding lanes are non-overflow no-ops -- so trajectories
+    must match bitwise.  _COMPACT_CAP is monkeypatched small so the
+    compact path engages at test scale."""
+    from particlesystemhybridcollisiondetection_tpu.core import step as step_mod
+    from particlesystemhybridcollisiondetection_tpu.core.step import (
+        make_sorted_episode_runner,
+    )
+
+    scene = _fast_scene()
+    cfg = scene.config
+    state = spawn_grid(cfg, layers_y=1)
+    mask = np.asarray(active_mask(state))
+    base = make_sorted_episode_runner(
+        scene.triangles, cfg, interpret=True, resort_every=7
+    )
+    r0 = base(state, 75)
+    old_cap = step_mod._COMPACT_CAP
+    step_mod._COMPACT_CAP = 256  # engage at n=1024; overflow stays < 256
+    try:
+        compact = make_sorted_episode_runner(
+            scene.triangles, cfg, interpret=True, resort_every=7,
+            rescue_compact=True,
+        )
+        r1 = compact(state, 75)
+    finally:
+        step_mod._COMPACT_CAP = old_cap
+    np.testing.assert_array_equal(
+        np.asarray(r1.collisions)[mask], np.asarray(r0.collisions)[mask]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r1.pos)[:, mask], np.asarray(r0.pos)[:, mask]
+    )
+
+
 def test_hybrid_persistent_runner_matches_per_step_smoke():
     """Hybrid-mode persistent runner (camera=...) == repeated
     make_hybrid_step_sorted steps, including across lazy-resort
